@@ -428,6 +428,13 @@ class SceneCompiler:
                     if emis
                     else np.zeros((0, 4, 4), np.float32)
                 ),
+                emis_nmat=(
+                    np.stack(
+                        [np.linalg.inv(e["o2w"][:3, :3]).T for e in emis]
+                    ).astype(np.float32)
+                    if emis
+                    else np.zeros((0, 3, 3), np.float32)
+                ),
                 emis_area=np.array([e["area"] for e in emis], np.float32),
                 emis_tri=np.array([e["tri"] for e in emis], np.int32),
                 emis_mat=np.array([e["mat"] for e in emis], np.int32),
@@ -452,15 +459,19 @@ class SceneCompiler:
                 mat_radiance_tex=np.asarray(n.radiance_tex, np.int32),
                 mat_roughness_tex=np.asarray(n.roughness_tex, np.int32),
                 mat_bump_tex=np.asarray(n.bump_tex, np.int32),
+                # Always include a 1x1 dummy slot so per-lane gathers with
+                # tex_idx = -1 (masked afterwards) stay in bounds.
                 tex_data=(
-                    np.concatenate(self.tex_blobs).astype(np.float32)
+                    np.concatenate(self.tex_blobs + [np.zeros(4, np.float32)])
                     if self.tex_blobs
                     else np.zeros((4,), np.float32)
                 ),
-                tex_offset=np.array([m[0] for m in self.tex_meta], np.int32),
-                tex_width=np.array([m[1] for m in self.tex_meta], np.int32),
-                tex_height=np.array([m[2] for m in self.tex_meta], np.int32),
-                tex_format=np.array([m[3] for m in self.tex_meta], np.int32),
+                tex_offset=np.array(
+                    [m[0] for m in self.tex_meta] + [self.tex_cursor], np.int32
+                ),
+                tex_width=np.array([m[1] for m in self.tex_meta] + [1], np.int32),
+                tex_height=np.array([m[2] for m in self.tex_meta] + [1], np.int32),
+                tex_format=np.array([m[3] for m in self.tex_meta] + [0], np.int32),
                 scene_diffuse_mat=self.scene_diffuse_mat,
                 scene_emissive_mat=self.scene_emissive_mat,
                 camera_fov=float(raw.camera.fov),

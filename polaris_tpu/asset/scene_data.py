@@ -82,6 +82,7 @@ class SceneData:
 
     # --- emissive primitives ---
     emis_o2w: np.ndarray  # (E, 4, 4) f32
+    emis_nmat: np.ndarray  # (E, 3, 3) f32 inverse-transpose for normals
     emis_area: np.ndarray  # (E,) f32
     emis_tri: np.ndarray  # (E,) i32
     emis_mat: np.ndarray  # (E,) i32

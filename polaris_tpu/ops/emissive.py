@@ -1,0 +1,136 @@
+"""Emissive (light) sampling: area lights + lat-long environment light.
+
+Counterpart of the reference's ``CL/samplers/emissive_sampler.cl``:
+  * uniform light selection, pdf = 1/numLights (emissive_sampler.cl:227-237)
+  * area lights: sqrt-warp uniform triangle point, world transform, value =
+    scale*ke*cos(theta_y)/dist^2 with pdf = 1/area
+    (emissive_sampler.cl:51-114)
+  * pdf-of-direction via a world-space ray/triangle test, t^2/(area*|cos|)
+    (emissive_sampler.cl:118-173)
+  * environment light: cosine-hemisphere sample of the lat-long map, pdf =
+    cos(theta)/pi (emissive_sampler.cl:16-47)
+
+Unlike the reference — which transforms emissive normals with the full 4x4
+including translation (emissive_sampler.cl:86-92) and stores the instance's
+*inverse* matrix as the emissive transform (compiler.go:199-216) — we carry a
+proper object->world matrix and a precomputed inverse-transpose normal
+matrix, so instanced lights are sampled correctly (docs/parity.md).
+
+All functions are vectorized over lanes; the light index is a per-lane array.
+"""
+
+from __future__ import annotations
+
+from . import vec as V
+from .texture import mat_sample3
+
+AREA_LIGHT = 0
+ENVIRONMENT_LIGHT = 1
+
+
+def emissive_select(xp, num_lights: int, u):
+    """Uniform light pick: (index, pdf) (emissive_sampler.cl:227-237)."""
+    idx = xp.clip((u * num_lights).astype("int32"), 0, num_lights - 1)
+    pdf = xp.full_like(u, 1.0 / num_lights)
+    return idx, pdf
+
+
+def _light_triangle_world(xp, S, l_idx):
+    """World-space v0/e1/e2 + per-vertex normals/uvs of each light triangle."""
+    tri = S["emis_tri"][l_idx]
+    o2w = S["emis_o2w"][l_idx]
+    v0 = V.transform_point(xp, o2w, S["tri_v0"][tri])
+    e1 = V.transform_dir(xp, o2w, S["tri_e1"][tri])
+    e2 = V.transform_dir(xp, o2w, S["tri_e2"][tri])
+    return tri, v0, e1, e2
+
+
+def emissive_sample(xp, S, point, normal, l_idx, u1, u2):
+    """Sample a direction to the selected light from ``point``.
+
+    Returns (value [N,3], out_dir [N,3], pdf [N], dist [N]).
+    """
+    e_type = S["emis_type"][l_idx]
+    mat_idx = S["emis_mat"][l_idx]
+    scale = S["mat_scale"][mat_idx]
+    radiance = S["mat_radiance"][mat_idx]
+    radiance_tex = S["mat_radiance_tex"][mat_idx]
+
+    # ---- area light (emissive_sampler.cl:51-114)
+    tri, v0, e1, e2 = _light_triangle_world(xp, S, l_idx)
+    r1s = xp.sqrt(xp.maximum(u1, 0.0))
+    ru = (1.0 - u2) * r1s
+    rv = u2 * r1s
+    # wuv = (1-ru-rv, ru, rv); point = v0 + ru*e1 + rv*e2
+    l_point = v0 + ru[..., None] * e1 + rv[..., None] * e2
+    n_obj = (
+        (1.0 - ru - rv)[..., None] * S["tri_normals"][tri][..., 0, :]
+        + ru[..., None] * S["tri_normals"][tri][..., 1, :]
+        + rv[..., None] * S["tri_normals"][tri][..., 2, :]
+    )
+    l_normal = V.dot3(
+        xp, S["emis_nmat"][l_idx], n_obj[..., None, :]
+    )  # (N,3) rows
+    l_uv = (
+        (1.0 - ru - rv)[..., None] * S["tri_uvs"][tri][..., 0, :]
+        + ru[..., None] * S["tri_uvs"][tri][..., 1, :]
+        + rv[..., None] * S["tri_uvs"][tri][..., 2, :]
+    )
+    to_light = l_point - point
+    sq_dist = xp.maximum(V.dot3(xp, to_light, to_light), 1e-20)
+    a_dist = xp.sqrt(sq_dist)
+    a_dir = to_light / a_dist[..., None]
+    n_dot_out = V.dot3(xp, l_normal, -a_dir)
+    ke = mat_sample3(xp, S, l_uv, radiance, radiance_tex)
+    a_pdf = xp.where(n_dot_out > 0.0, 1.0 / xp.maximum(S["emis_area"][l_idx], 1e-20), 0.0)
+    a_val = V.where3(
+        xp,
+        n_dot_out > 0.0,
+        (scale * n_dot_out / sq_dist)[..., None] * ke,
+        xp.zeros_like(ke),
+    )
+
+    # ---- environment light (emissive_sampler.cl:16-38)
+    env_dir = V.cos_weighted_hemisphere(xp, normal, u1, u2)
+    env_pdf = xp.maximum(0.0, V.dot3(xp, normal, env_dir)) * V.INV_PI
+    env_uv = V.ray_to_latlong_uv(xp, env_dir)
+    env_ke = mat_sample3(xp, S, env_uv, radiance, radiance_tex)
+    env_val = (scale * V.INV_PI)[..., None] * env_ke
+
+    is_env = e_type == ENVIRONMENT_LIGHT
+    value = V.where3(xp, is_env, env_val, a_val)
+    out_dir = V.where3(xp, is_env, env_dir, a_dir)
+    pdf = xp.where(is_env, env_pdf, a_pdf)
+    dist = xp.where(is_env, V.FLT_MAX, a_dist)
+    return value, out_dir, pdf, dist
+
+
+def emissive_pdf(xp, S, point, normal, l_idx, out_dir):
+    """pdf of the light sampler generating ``out_dir`` (for MIS weighting of
+    the bxdf sample) (emissive_sampler.cl:118-173, 41-47)."""
+    e_type = S["emis_type"][l_idx]
+
+    # ---- area light: Moller-Trumbore against the world-space triangle
+    tri, v0, e1, e2 = _light_triangle_world(xp, S, l_idx)
+    pvec = V.cross3(xp, out_dir, e2)
+    det = V.dot3(xp, e1, pvec)
+    inv_det = 1.0 / xp.where(xp.abs(det) < V.INTERSECTION_EPSILON, 1.0, det)
+    tvec = point - v0
+    u = V.dot3(xp, tvec, pvec) * inv_det
+    qvec = V.cross3(xp, tvec, e1)
+    v = V.dot3(xp, out_dir, qvec) * inv_det
+    t = V.dot3(xp, e2, qvec) * inv_det
+    hit = (
+        (xp.abs(det) >= V.INTERSECTION_EPSILON)
+        & (u >= 0.0)
+        & (u <= 1.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t >= V.INTERSECTION_EPSILON)
+    )
+    face_n = V.normalize3(xp, V.cross3(xp, e1, e2))
+    denom = S["emis_area"][l_idx] * xp.abs(V.dot3(xp, face_n, out_dir))
+    a_pdf = xp.where(hit & (denom > 0.0), t * t / xp.maximum(denom, 1e-20), 0.0)
+
+    env_pdf = xp.maximum(0.0, V.dot3(xp, normal, out_dir) * V.INV_PI)
+    return xp.where(e_type == ENVIRONMENT_LIGHT, env_pdf, a_pdf)

@@ -92,6 +92,19 @@ def jnp_uniform(*parts):
     return (bits >> 8).astype(jnp.float32) * jnp.float32(1.0 / 16777216.0)
 
 
+def make_uniform(uniform_fn, seed, pixel_idx, sample_idx, bounce):
+    """Bind the per-draw counter layout into a stream closure.
+
+    Layout: uniform(seed, pixel, sample, bounce*64 + stream). Both renderers
+    MUST build their closures through this function so streams line up.
+    """
+
+    def U(stream):
+        return uniform_fn(seed, pixel_idx, sample_idx, bounce * 64 + stream)
+
+    return U
+
+
 # Stream ids: each logical draw site gets a fixed stream so draw order never
 # matters. (The reference draws sample0/1/2 sequentially from one state —
 # pt_integrator.cl:82-84; here every site is independent.)

@@ -1,0 +1,133 @@
+"""Small backend-generic (NumPy / jax.numpy) vector helpers.
+
+Every function takes the array module ``xp`` first so the exact same code
+runs inside jitted JAX integrators and the NumPy golden renderer.
+"""
+
+from __future__ import annotations
+
+PI = 3.14159265358979323846
+INV_PI = 1.0 / PI
+TWO_PI = 2.0 * PI
+
+# Intersection constants (ref: CL/constants.cl:22-27)
+INTERSECTION_EPSILON = 1e-5
+INTERSECTION_WITH_LIGHT_EPSILON = INTERSECTION_EPSILON * 1e3
+MIN_ROUGHNESS = 0.1
+FLT_MAX = 3.4028235e38
+
+
+def dot3(xp, a, b):
+    return xp.sum(a * b, axis=-1)
+
+
+def cross3(xp, a, b):
+    return xp.stack(
+        [
+            a[..., 1] * b[..., 2] - a[..., 2] * b[..., 1],
+            a[..., 2] * b[..., 0] - a[..., 0] * b[..., 2],
+            a[..., 0] * b[..., 1] - a[..., 1] * b[..., 0],
+        ],
+        axis=-1,
+    )
+
+
+def normalize3(xp, v, eps=1e-20):
+    n = xp.sqrt(xp.maximum(dot3(xp, v, v), eps))
+    return v / n[..., None]
+
+
+def vlen3(xp, v):
+    return xp.sqrt(dot3(xp, v, v))
+
+
+def maxcomp3(xp, v):
+    return xp.maximum(v[..., 0], xp.maximum(v[..., 1], v[..., 2]))
+
+
+def luminance(xp, v):
+    """Rec.709 luma (ref: pt_integrator.cl:116)."""
+    return 0.2126 * v[..., 0] + 0.7152 * v[..., 1] + 0.0722 * v[..., 2]
+
+
+def where3(xp, mask, a, b):
+    return xp.where(mask[..., None], a, b)
+
+
+def tangent_basis(xp, n):
+    """Tangent/bitangent frame (ref: CL/util/surface.cl:4-6 TANGENT_VECTORS).
+
+    u = normalize(cross(|n.z|<.999 ? (0,0,1) : (1,0,0), n)); v = cross(n, u)
+    """
+    use_z = xp.abs(n[..., 2]) < 0.999
+    ref = xp.stack(
+        [
+            xp.where(use_z, 0.0, 1.0),
+            xp.zeros_like(n[..., 0]),
+            xp.where(use_z, 1.0, 0.0),
+        ],
+        axis=-1,
+    )
+    u = normalize3(xp, cross3(xp, ref, n))
+    v = cross3(xp, n, u)
+    return u, v
+
+
+def transform_point(xp, m, p):
+    """Apply [..., 4, 4] matrices to [..., 3] points (w=1)."""
+    return dot3(xp, m[..., :3, :3], p[..., None, :]) + m[..., :3, 3]
+
+
+def transform_dir(xp, m, d):
+    """Apply the rotation part of [..., 4, 4] matrices to [..., 3] dirs."""
+    return dot3(xp, m[..., :3, :3], d[..., None, :])
+
+
+def transform_normal(xp, w2o, n):
+    """Normals transform by (o2w^-1)^T = w2o^T."""
+    return dot3(xp, xp.swapaxes(w2o[..., :3, :3], -1, -2), n[..., None, :])
+
+
+def ray_to_latlong_uv(xp, d):
+    """Direction -> lat-long uv (ref: CL/util/transform.cl rayToLatLongUV)."""
+    at2 = xp.arctan2(d[..., 0], d[..., 2])
+    at2 = xp.where(at2 >= 0.0, at2, at2 + TWO_PI)
+    r = vlen3(xp, d)
+    u = at2 / TWO_PI
+    v = xp.arccos(xp.clip(d[..., 1] / xp.maximum(r, 1e-20), -1.0, 1.0)) / PI
+    return xp.stack([u, v], axis=-1)
+
+
+def reflect(xp, in_dir, n):
+    """Reflect an *outward-pointing* in_dir about n (conductor.cl:18)."""
+    return 2.0 * dot3(xp, in_dir, n)[..., None] * n - in_dir
+
+
+def tent_filter(xp, s):
+    """Map uniform [0,1) to tent-filtered [-0.5, 1.5) (camera.cl:40-43)."""
+    return xp.where(
+        s < 0.5,
+        xp.sqrt(xp.maximum(2.0 * s, 0.0)) - 0.5,
+        1.5 - xp.sqrt(xp.maximum(2.0 - 2.0 * s, 0.0)),
+    )
+
+
+def fresnel_dielectric(xp, eta_i, eta_t, i_dot_n):
+    """Schlick approximation (ref: CL/util/fresnel.cl:8-17)."""
+    eta = eta_i / eta_t
+    r0 = ((1.0 - eta) ** 2) / ((1.0 + eta) ** 2)
+    c = 1.0 - xp.abs(i_dot_n)
+    return r0 + (1.0 - r0) * c * c * c * c * c
+
+
+def cos_weighted_hemisphere(xp, n, u1, u2):
+    """Cosine-weighted hemisphere sample (distribution_sampler.cl:100-112)."""
+    rd = xp.sqrt(xp.maximum(u1, 0.0))
+    phi = TWO_PI * u2
+    tu, tv = tangent_basis(xp, n)
+    return normalize3(
+        xp,
+        tu * (rd * xp.cos(phi))[..., None]
+        + tv * (rd * xp.sin(phi))[..., None]
+        + n * xp.sqrt(xp.maximum(1.0 - u1, 0.0))[..., None],
+    )
