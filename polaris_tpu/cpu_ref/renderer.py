@@ -60,6 +60,11 @@ class CpuRenderer:
         self.inst_tris = [
             _collect_blas_triangles(scene, int(root)) for root in scene.inst_bvh_root
         ]
+        from ..ops.material import material_tree_depth
+
+        self.material_depth = material_tree_depth(
+            scene.mat_type, scene.mat_left, scene.mat_right
+        )
 
     # ----- intersection (independent of the device BVH traversal) -----
 
@@ -178,6 +183,7 @@ class CpuRenderer:
                     bounce=b,
                     min_bounces_for_rr=opt.min_bounces_for_rr,
                     num_emissives=num_emissives,
+                    material_depth=self.material_depth,
                     ray_o=ray_o,
                     ray_d=ray_d,
                     t=t,

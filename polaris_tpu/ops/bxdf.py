@@ -177,7 +177,7 @@ def bxdf_sample(xp, S, mat, normal, uv, in_dir, u1, u2):
 
     # --- dielectric (dielectric.cl:13-47)
     eta_i, eta_t = _eta_swapped(xp, mat, i_dot_n)
-    eta = eta_i / eta_t
+    eta = eta_i / xp.where(eta_t == 0.0, 1.0, eta_t)
     f_diel = V.fresnel_dielectric(xp, eta_i, eta_t, i_dot_n)
     cos_t_sq = 1.0 + eta * (i_dot_n * i_dot_n - 1.0)
     tir = cos_t_sq <= 0.0

@@ -75,7 +75,28 @@ def apply_bump_map(xp, S, normal, uv, tex_idx):
     )
 
 
-def select_material(xp, S, U, root_idx, normal, uv, flags):
+def material_tree_depth(mat_type, mat_left, mat_right) -> int:
+    """Longest operator chain over all material trees (host-side, static).
+
+    Children are emitted before parents by the compiler, so a single forward
+    pass suffices. The result bounds the vectorized walk's iteration count —
+    scenes with only leaf materials skip the walk entirely.
+    """
+    import numpy as np
+
+    m = len(mat_type)
+    depth = np.zeros(m, np.int32)
+    for i in range(m):
+        t = int(mat_type[i])
+        if t >= OP_MIX:
+            d = depth[mat_left[i]]
+            if t in (OP_MIX, OP_MIX_MAP) and mat_right[i] >= 0:
+                d = max(d, depth[mat_right[i]])
+            depth[i] = d + 1
+    return int(depth.max()) if m else 0
+
+
+def select_material(xp, S, U, root_idx, normal, uv, flags, max_depth=MAX_MATERIAL_DEPTH):
     """Walk the layered material tree for every lane.
 
     Args:
@@ -96,7 +117,7 @@ def select_material(xp, S, U, root_idx, normal, uv, flags):
     force_int = xp.zeros(node.shape, normal.dtype)
     force_ext = xp.zeros(node.shape, normal.dtype)
 
-    for level in range(MAX_MATERIAL_DEPTH):
+    for level in range(max_depth):
         t = S["mat_type"][node]
         left = S["mat_left"][node]
         right = S["mat_right"][node]

@@ -113,8 +113,13 @@ def tent_filter(xp, s):
 
 
 def fresnel_dielectric(xp, eta_i, eta_t, i_dot_n):
-    """Schlick approximation (ref: CL/util/fresnel.cl:8-17)."""
-    eta = eta_i / eta_t
+    """Schlick approximation (ref: CL/util/fresnel.cl:8-17).
+
+    Division guarded for lanes whose material has no IOR (conductor with
+    intIOR 0) — those lanes mask the result out but must stay NaN-free so
+    gradients don't poison the batch.
+    """
+    eta = eta_i / xp.where(eta_t == 0.0, 1.0, eta_t)
     r0 = ((1.0 - eta) ** 2) / ((1.0 + eta) ** 2)
     c = 1.0 - xp.abs(i_dot_n)
     return r0 + (1.0 - r0) * c * c * c * c * c

@@ -1,0 +1,208 @@
+"""The TPU integrator: one jitted program per (resolution, spp, bounces).
+
+Counterpart of the reference's host-driven pipeline
+(``tracer/opencl/pipeline.go:94-213`` MonteCarloIntegrator +
+``tracer/opencl/tracer.go:194-247`` Trace): where the reference round-trips
+host<->device for every kernel launch per bounce per sample (SURVEY.md §3.2),
+here the *entire* sample loop — raygen, traversal, shading, NEE occlusion,
+accumulation — is a single XLA program: ``lax.fori_loop`` over samples, an
+unrolled bounce loop (static, small), masked fixed-shape lanes, zero host
+synchronization until the final accumulator readback.
+
+Ray i <-> pixel i throughout, so the accumulator update is a lanewise add
+(no scatter). The RNG is counter-based (ops/rng.py), making the image
+independent of tiling/sharding — a requirement for the multi-chip path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..asset.camera import Camera
+from ..asset.scene_data import SceneData
+from ..ops import rng
+from ..ops import vec as V
+from ..ops.intersect import make_intersectors
+from ..utils.log import Timer, get_logger
+from .options import RenderOptions
+from .raygen import gen_rays
+from .shade import shade, shade_miss, tonemap_reinhard
+
+_log = get_logger("tpu renderer")
+
+
+def render_sample_block(
+    S: Dict,
+    closest,
+    any_hit,
+    *,
+    frustum,
+    eye,
+    width: int,
+    height: int,
+    pixel_x,
+    pixel_y,
+    pixel_idx,
+    sample_idx,
+    seed,
+    num_bounces: int,
+    min_bounces_for_rr: int,
+    num_emissives: int,
+    scene_diffuse_mat: int,
+    material_depth: int = None,
+):
+    """Trace ONE sample for a block of pixels; returns radiance [N, 3].
+
+    This is the building block shared by the single-chip renderer, the
+    shard_map multi-chip renderer, and the differentiable path. ``pixel_*``
+    are full-frame coordinates so a sharded block behaves exactly like the
+    reference's BlockY-offset row bands (camera.cl:32, default.go:127-136).
+    """
+    n = pixel_idx.shape[0]
+    U0 = rng.make_uniform(rng.jnp_uniform, seed, pixel_idx, sample_idx, 0)
+    ray_o, ray_d = gen_rays(jnp, frustum, eye, width, height, pixel_x, pixel_y, U0)
+    throughput = jnp.ones((n, 3), jnp.float32)
+    flags = jnp.zeros(n, jnp.uint32)
+    alive = jnp.ones(n, bool)
+    radiance = jnp.zeros((n, 3), jnp.float32)
+    maxt = jnp.full(n, V.FLT_MAX, jnp.float32)
+
+    for b in range(num_bounces):
+        hit = closest(S, ray_o, ray_d, maxt, alive)
+        t = jnp.where(hit.mask, hit.t, 0.0)
+        if scene_diffuse_mat >= 0:
+            miss = alive & (~hit.mask)
+            bg = shade_miss(jnp, S, ray_d, throughput, b == 0, scene_diffuse_mat)
+            radiance = radiance + jnp.where(miss[..., None], bg, 0.0)
+        U = rng.make_uniform(rng.jnp_uniform, seed, pixel_idx, sample_idx, b)
+        out = shade(
+            jnp,
+            S,
+            U,
+            bounce=b,
+            min_bounces_for_rr=min_bounces_for_rr,
+            num_emissives=num_emissives,
+            material_depth=material_depth,
+            ray_o=ray_o,
+            ray_d=ray_d,
+            t=t,
+            inst=hit.inst,
+            tri=hit.tri,
+            bary_u=hit.u,
+            bary_v=hit.v,
+            hit_mask=hit.mask,
+            throughput=throughput,
+            flags=flags,
+        )
+        radiance = radiance + out["emit_add"]
+        if num_emissives > 0:
+            occluded = any_hit(
+                S, out["occl_o"], out["occl_d"], out["occl_maxt"], out["occl_mask"]
+            )
+            nee = out["occl_mask"] & (~occluded)
+            radiance = radiance + jnp.where(nee[..., None], out["occl_value"], 0.0)
+        ray_o = out["next_o"]
+        ray_d = out["next_d"]
+        throughput = out["throughput"]
+        flags = out["flags"]
+        alive = out["next_mask"]
+    return radiance
+
+
+class TpuRenderer:
+    """Single-chip renderer over a compiled scene.
+
+    ``mode`` selects the traversal backend ('auto' | 'bvh' | 'brute' |
+    'pallas' once available).
+    """
+
+    def __init__(self, scene: SceneData, mode: str = "auto"):
+        self.scene = scene
+        geom, params = scene.split_params()
+        self.geom = {k: jnp.asarray(v) for k, v in geom.items()}
+        self.params = {k: jnp.asarray(v) for k, v in params.items()}
+        self.closest, self.any_hit = make_intersectors(None, scene, mode)
+        self.num_emissives = int(scene.emis_area.shape[0])
+        self.scene_diffuse_mat = int(scene.scene_diffuse_mat)
+        from ..ops.material import material_tree_depth
+
+        self.material_depth = material_tree_depth(
+            scene.mat_type, scene.mat_left, scene.mat_right
+        )
+        self._jit_cache: Dict = {}
+
+    # ----- jit plumbing -----
+
+    def _get_render_fn(self, opt: RenderOptions):
+        key = (opt.width, opt.height, opt.spp, opt.num_bounces, opt.min_bounces_for_rr)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+
+        W, H = opt.width, opt.height
+        n = W * H
+
+        def render_fn(geom, params, frustum, eye, seed):
+            S = {**geom, **params}
+            pixel_idx = jnp.arange(n, dtype=jnp.uint32)
+            xs = (pixel_idx % W).astype(jnp.int32)
+            ys = (pixel_idx // W).astype(jnp.int32)
+
+            def sample_body(s, accum):
+                rad = render_sample_block(
+                    S,
+                    self.closest,
+                    self.any_hit,
+                    frustum=frustum,
+                    eye=eye,
+                    width=W,
+                    height=H,
+                    pixel_x=xs,
+                    pixel_y=ys,
+                    pixel_idx=pixel_idx,
+                    sample_idx=s,
+                    seed=seed,
+                    num_bounces=opt.num_bounces,
+                    min_bounces_for_rr=opt.min_bounces_for_rr,
+                    num_emissives=self.num_emissives,
+                    scene_diffuse_mat=self.scene_diffuse_mat,
+                    material_depth=self.material_depth,
+                )
+                return accum + rad
+
+            accum = jax.lax.fori_loop(
+                0, opt.spp, sample_body, jnp.zeros((n, 3), jnp.float32)
+            )
+            return accum.reshape(H, W, 3)
+
+        fn = jax.jit(render_fn)
+        self._jit_cache[key] = fn
+        return fn
+
+    # ----- public API -----
+
+    def render_accum(
+        self, opt: RenderOptions, camera: Optional[Camera] = None
+    ) -> jnp.ndarray:
+        cam = camera or Camera.from_scene(self.scene, opt.width, opt.height)
+        fn = self._get_render_fn(opt)
+        with Timer() as t:
+            accum = fn(
+                self.geom,
+                self.params,
+                jnp.asarray(cam.frustum),
+                jnp.asarray(cam.position),
+                jnp.uint32(opt.seed),
+            )
+            accum.block_until_ready()
+        self.last_render_ms = t.ms
+        return accum
+
+    def render(self, opt: RenderOptions, camera: Optional[Camera] = None):
+        accum = self.render_accum(opt, camera)
+        img = tonemap_reinhard(jnp, accum, 1.0 / opt.spp, opt.exposure)
+        return np.asarray(img)

@@ -26,7 +26,7 @@ from ..ops.bxdf import (
     bxdf_sample,
 )
 from ..ops.emissive import emissive_pdf, emissive_sample, emissive_select
-from ..ops.material import select_material
+from ..ops.material import MAX_MATERIAL_DEPTH, select_material
 from ..ops.rng import (
     STREAM_BXDF_U,
     STREAM_BXDF_V,
@@ -53,6 +53,7 @@ def shade(
     bounce,
     min_bounces_for_rr,
     num_emissives,
+    material_depth=None,
     ray_o,
     ray_d,
     t,
@@ -99,7 +100,11 @@ def shade(
 
     # --- layered material selection (material_sampler.cl matSelectNode) ---
     root = S["tri_material"][tri]
-    mat, normal, tint, new_flags = select_material(xp, S, U, root, normal, uv, flags)
+    if material_depth is None:
+        material_depth = MAX_MATERIAL_DEPTH
+    mat, normal, tint, new_flags = select_material(
+        xp, S, U, root, normal, uv, flags, max_depth=material_depth
+    )
     flags = xp.where(hit_mask, new_flags, flags)
 
     i_dot_n = V.dot3(xp, in_dir, normal)

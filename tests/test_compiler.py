@@ -1,0 +1,116 @@
+"""Scene compiler tests (ref test model: compiler_test.go — texture baking
+offsets, BVH/TLAS layout, material tree compilation)."""
+
+import numpy as np
+import pytest
+
+from polaris_tpu.asset import material as M
+from polaris_tpu.asset.scene_data import AREA_LIGHT, ENVIRONMENT_LIGHT, SceneData
+
+
+def test_cornell_structure(cornell_scene):
+    sc = cornell_scene
+    assert sc.num_triangles == 36  # 5 walls + light + 2 boxes(6 quads each)
+    # TLAS leaf per instance with ldata = -instance
+    tlas_leaves = np.nonzero((sc.bvh_ldata <= 0) & (sc.bvh_rdata == 0))[0]
+    insts = sorted(-sc.bvh_ldata[tlas_leaves])
+    assert insts == list(range(sc.inst_bvh_root.shape[0]))
+    # area light cloned once (1 instance) + no env light
+    assert np.all(sc.emis_type == AREA_LIGHT)
+    assert sc.emis_area.shape[0] == 2  # light quad = 2 triangles
+    # light triangle areas: 0.5 * 0.5 quad split in two
+    np.testing.assert_allclose(sc.emis_area, [0.125, 0.125], rtol=1e-5)
+    assert sc.scene_diffuse_mat == -1
+
+
+def test_material_nodes(cornell_scene):
+    sc = cornell_scene
+    # 5 materials, all leaves
+    assert np.all(sc.mat_type[: sc.mat_type.shape[0]] < 10000)
+    types = set(int(t) for t in sc.mat_type)
+    assert M.BXDF_DIFFUSE in types
+    assert M.BXDF_EMISSIVE in types
+    assert M.BXDF_CONDUCTOR in types
+    # conductor with intIOR: 0 override
+    cond = np.nonzero(sc.mat_type == M.BXDF_CONDUCTOR)[0][0]
+    assert sc.mat_int_ior[cond] == 0.0
+
+
+def test_blas_ranges_contiguous(cornell_scene):
+    from polaris_tpu.cpu_ref.renderer import _collect_blas_triangles
+
+    sc = cornell_scene
+    seen = []
+    for root in set(int(r) for r in sc.inst_bvh_root):
+        tris = _collect_blas_triangles(sc, root)
+        assert tris.max() - tris.min() + 1 == tris.size
+        seen.extend(tris.tolist())
+    assert sorted(seen) == list(range(sc.num_triangles))
+
+
+def test_dispersive_env_scene(scenes_dir):
+    import os
+
+    from polaris_tpu.asset.compiler.compiler import compile_scene
+    from polaris_tpu.asset.wavefront import read_scene
+
+    sc = compile_scene(read_scene(os.path.join(scenes_dir, "dispersive.obj")))
+    assert sc.scene_diffuse_mat >= 0
+    assert sc.scene_emissive_mat >= 0
+    assert ENVIRONMENT_LIGHT in set(int(t) for t in sc.emis_type)
+    # disperse op node present with per-channel IORs
+    disp = np.nonzero(sc.mat_type == M.OP_DISPERSE)[0]
+    assert disp.size == 1
+    assert sc.mat_int_disp_ior[disp[0], 0] > 1.5
+    # env map baked into atlas
+    assert sc.tex_offset.shape[0] >= 2  # env.hdr + dummy
+
+
+def test_scene_io_roundtrip(tmp_path, cornell_scene):
+    import dataclasses
+
+    p = str(tmp_path / "scene.zip")
+    cornell_scene.save(p)
+    loaded = SceneData.load(p)
+    for f in dataclasses.fields(SceneData):
+        a = getattr(cornell_scene, f.name)
+        b = getattr(loaded, f.name)
+        if isinstance(a, np.ndarray):
+            np.testing.assert_array_equal(a, b, err_msg=f.name)
+        else:
+            assert a == b or np.allclose(a, b), f.name
+
+
+def test_circular_material_reference(tmp_path):
+    from polaris_tpu.asset.compiler.compiler import CompileError, compile_scene
+    from polaris_tpu.asset.wavefront import read_scene
+
+    (tmp_path / "lib.mtl").write_text(
+        'newmtl a\nmat_expr mix("b", diffuse(), 0.5)\n'
+        'newmtl b\nmat_expr mix("a", diffuse(), 0.5)\n'
+    )
+    (tmp_path / "s.obj").write_text(
+        "mtllib lib.mtl\nv 0 0 0\nv 1 0 0\nv 0 1 0\nusemtl a\nf 1 2 3\n"
+    )
+    with pytest.raises(CompileError):
+        compile_scene(read_scene(str(tmp_path / "s.obj")))
+
+
+def test_instanced_scene(scenes_dir):
+    import os
+
+    from polaris_tpu.asset.compiler.compiler import compile_scene
+    from polaris_tpu.asset.wavefront import read_scene
+
+    sc = compile_scene(read_scene(os.path.join(scenes_dir, "instanced.obj")))
+    n_inst = sc.inst_bvh_root.shape[0]
+    assert n_inst == 18  # 16 balls + floor + lamp
+    # instances share BLAS roots
+    assert len(set(int(r) for r in sc.inst_bvh_root)) == 3
+    # emissive clones: lamp instanced once -> 2 triangles
+    assert sc.emis_area.shape[0] == 2
+    # w2o really is the inverse of o2w
+    for i in range(n_inst):
+        np.testing.assert_allclose(
+            sc.inst_w2o[i] @ sc.inst_o2w[i], np.eye(4), atol=1e-4
+        )

@@ -1,0 +1,41 @@
+"""Forward-image parity: TPU integrator (both traversal modes) vs the NumPy
+golden renderer. This is the allclose gate the reference never had
+(SURVEY.md §4 'no numerical ground truth')."""
+
+import numpy as np
+import pytest
+
+from polaris_tpu.cpu_ref.renderer import CpuRenderer
+from polaris_tpu.render.integrator import TpuRenderer
+from polaris_tpu.render.options import RenderOptions
+
+
+def _compare(scene, opt, modes=("bvh", "brute"), atol=1e-4):
+    golden = CpuRenderer(scene).render_accum(opt)
+    assert np.isfinite(golden).all()
+    for mode in modes:
+        got = np.asarray(TpuRenderer(scene, mode=mode).render_accum(opt))
+        assert np.isfinite(got).all(), mode
+        np.testing.assert_allclose(got, golden, atol=atol, rtol=1e-3, err_msg=mode)
+
+
+def test_cornell_parity(cornell_scene):
+    opt = RenderOptions(width=48, height=48, spp=2, num_bounces=3, min_bounces_for_rr=4)
+    _compare(cornell_scene, opt)
+
+
+def test_cornell_with_rr_parity(cornell_scene):
+    opt = RenderOptions(width=32, height=32, spp=2, num_bounces=4, min_bounces_for_rr=2)
+    _compare(cornell_scene, opt, modes=("bvh",))
+
+
+def test_sphere_parity(sphere_scene):
+    opt = RenderOptions(width=32, height=32, spp=2, num_bounces=2, min_bounces_for_rr=3)
+    _compare(sphere_scene, opt)
+
+
+def test_image_nonblack(cornell_scene):
+    opt = RenderOptions(width=32, height=32, spp=1, num_bounces=3, min_bounces_for_rr=4)
+    img = TpuRenderer(cornell_scene, mode="bvh").render(opt)
+    assert img.mean() > 0.05
+    assert img.max() <= 1.0
