@@ -46,15 +46,18 @@ BXDF_SINGULAR_MASK = BXDF_CONDUCTOR | BXDF_DIELECTRIC
 
 
 def ggx_g1(xp, roughness, v, n, m):
-    """Smith G1 (distribution_sampler.cl:17-31)."""
+    """Smith G1 (distribution_sampler.cl:17-31).
+
+    Degenerate grazing configurations (cos^2 below 1e-12) take the exact
+    limit G1 -> 0 through a masked branch so f32 gradients can't overflow.
+    """
     n_dot_v = V.dot3(xp, n, v)
     m_dot_v = V.dot3(xp, m, v)
     n_dot_v_sq = n_dot_v * n_dot_v
-    tan_sq = xp.where(
-        n_dot_v_sq > 0.0, (1.0 - n_dot_v_sq) / xp.maximum(n_dot_v_sq, 1e-20), 0.0
-    )
+    tan_sq = V.safe_div(xp, 1.0 - n_dot_v_sq, n_dot_v_sq, 1e-12)
     a_sq = roughness * roughness
     g = 2.0 / (1.0 + xp.sqrt(1.0 + a_sq * tan_sq))
+    g = xp.where(n_dot_v_sq > 1e-12, g, 0.0)
     return xp.where(n_dot_v * m_dot_v <= 0.0, 0.0, g)
 
 
@@ -66,12 +69,11 @@ def ggx_d(xp, roughness, n, m):
     """GGX normal distribution (distribution_sampler.cl:36-50)."""
     n_dot_m = V.dot3(xp, n, m)
     n_dot_m_sq = n_dot_m * n_dot_m
-    tan_sq = xp.where(
-        n_dot_m != 0.0, (1.0 - n_dot_m_sq) / xp.maximum(n_dot_m_sq, 1e-20), 0.0
-    )
+    tan_sq = V.safe_div(xp, 1.0 - n_dot_m_sq, n_dot_m_sq, 1e-12)
     a_sq = roughness * roughness
     denom = V.PI * n_dot_m_sq * n_dot_m_sq * (a_sq + tan_sq) * (a_sq + tan_sq)
-    d = xp.where(denom > 0.0, a_sq / xp.maximum(denom, 1e-30), 0.0)
+    d = V.safe_div(xp, a_sq, denom, 1e-12)
+    d = xp.where(n_dot_m_sq > 1e-12, d, 0.0)
     return xp.where(n_dot_m <= 0.0, 0.0, d)
 
 
@@ -100,9 +102,8 @@ def ggx_reflection_pdf(xp, roughness, in_dir, out_dir, n, h):
     """pdf = D * |h.n| / (4 |o.h|) (distribution_sampler.cl:74-84)."""
     n_dot_h = xp.abs(V.dot3(xp, n, h))
     o_dot_h = xp.abs(V.dot3(xp, out_dir, h))
-    denom = 4.0 * o_dot_h
-    return xp.where(
-        denom == 0.0, 0.0, ggx_d(xp, roughness, n, h) * n_dot_h / xp.maximum(denom, 1e-20)
+    return V.safe_div(
+        xp, ggx_d(xp, roughness, n, h) * n_dot_h, 4.0 * o_dot_h, 1e-12
     )
 
 
@@ -112,15 +113,11 @@ def ggx_refraction_pdf(xp, roughness, eta_i, eta_t, in_dir, out_dir, n, h):
     o_dot_h = xp.abs(V.dot3(xp, out_dir, h))
     h_dot_n = xp.abs(V.dot3(xp, h, n))
     denom = (eta_i * i_dot_h + eta_t * o_dot_h) ** 2
-    return xp.where(
-        denom > 0.0,
-        ggx_d(xp, roughness, n, h)
-        * h_dot_n
-        * o_dot_h
-        * eta_t
-        * eta_t
-        / xp.maximum(denom, 1e-20),
-        0.0,
+    return V.safe_div(
+        xp,
+        ggx_d(xp, roughness, n, h) * h_dot_n * o_dot_h * eta_t * eta_t,
+        denom,
+        1e-12,
     )
 
 
@@ -168,12 +165,7 @@ def bxdf_sample(xp, S, mat, normal, uv, in_dir, u1, u2):
     # --- conductor (conductor.cl:13-30)
     c_out = V.reflect(xp, in_dir, n)
     c_pdf = xp.ones_like(i_dot_n)
-    c_val = V.where3(
-        xp,
-        i_dot_n != 0.0,
-        (f_cond / xp.where(i_dot_n != 0.0, i_dot_n, 1.0))[..., None] * ks,
-        xp.zeros_like(ks),
-    )
+    c_val = V.safe_div_abs(xp, f_cond, i_dot_n, 1e-8)[..., None] * ks
 
     # --- dielectric (dielectric.cl:13-47)
     eta_i, eta_t = _eta_swapped(xp, mat, i_dot_n)
@@ -194,12 +186,7 @@ def bxdf_sample(xp, S, mat, normal, uv, in_dir, u1, u2):
     g_out = V.where3(xp, pick_reflect, refl_out, refr_out)
     g_pdf = xp.where(pick_reflect, xp.where(tir, 1.0, f_diel), 1.0 - f_diel)
     g_k = V.where3(xp, pick_reflect, ks, (eta * eta)[..., None] * tf)
-    g_val = V.where3(
-        xp,
-        i_dot_n != 0.0,
-        (g_pdf / xp.abs(xp.where(i_dot_n != 0.0, i_dot_n, 1.0)))[..., None] * g_k,
-        xp.zeros_like(g_k),
-    )
+    g_val = V.safe_div(xp, g_pdf, xp.abs(i_dot_n), 1e-8)[..., None] * g_k
 
     # --- roughConductor (rough_conductor.cl:9-41)
     alpha = _rough_alpha(xp, S, mat, uv)
@@ -211,13 +198,7 @@ def bxdf_sample(xp, S, mat, normal, uv, in_dir, u1, u2):
     rc_g = ggx_g(xp, alpha, in_dir, rc_out, n, rc_h)
     rc_o_dot_n = V.dot3(xp, rc_out, n)
     rc_denom = 4.0 * i_dot_n * rc_o_dot_n
-    rc_val = V.where3(
-        xp,
-        rc_denom > 0.0,
-        (f_cond * rc_d * rc_g / xp.where(rc_denom > 0.0, rc_denom, 1.0))[..., None]
-        * ks,
-        xp.zeros_like(ks),
-    )
+    rc_val = V.safe_div(xp, f_cond * rc_d * rc_g, rc_denom, 1e-12)[..., None] * ks
 
     # --- roughDielectric (rough_dielectric.cl:9-96)
     rd_pick_reflect = tir | (u1 <= f_diel)
@@ -232,12 +213,9 @@ def bxdf_sample(xp, S, mat, normal, uv, in_dir, u1, u2):
     rd_refl_g = ggx_g(xp, alpha, in_dir, rd_refl_out, n, rd_refl_h)
     rd_refl_o_dot_n = V.dot3(xp, rd_refl_out, n)
     rd_refl_denom = 4.0 * i_dot_n * rd_refl_o_dot_n
-    rd_refl_val = V.where3(
-        xp,
-        rd_refl_denom > 0.0,
-        (f_diel * rd_refl_d * rd_refl_g
-         / xp.where(rd_refl_denom > 0.0, rd_refl_denom, 1.0))[..., None] * ks,
-        xp.zeros_like(ks),
+    rd_refl_val = (
+        V.safe_div(xp, f_diel * rd_refl_d * rd_refl_g, rd_refl_denom, 1e-12)[..., None]
+        * ks
     )
 
     rd_refr_out = (eta * i_dot_n - sgn * xp.sqrt(xp.maximum(cos_t_sq, 0.0)))[
@@ -257,13 +235,10 @@ def bxdf_sample(xp, S, mat, normal, uv, in_dir, u1, u2):
         * rd_o_dot_n
         * (eta_i * rd_i_dot_h + eta_t * rd_o_dot_h) ** 2
     )
-    focus = xp.where(
-        focus_denom != 0.0,
-        xp.abs(
-            eta_t * eta_t * rd_i_dot_h * rd_o_dot_h
-            / xp.where(focus_denom != 0.0, focus_denom, 1.0)
-        ),
-        0.0,
+    focus = xp.abs(
+        V.safe_div_abs(
+            xp, eta_t * eta_t * rd_i_dot_h * rd_o_dot_h, focus_denom, 1e-12
+        )
     )
     rd_refr_d = ggx_d(xp, alpha, n, rd_refr_h)
     rd_refr_g = ggx_g(xp, alpha, in_dir, rd_refr_out, n, rd_refr_h)
@@ -346,34 +321,19 @@ def bxdf_eval(xp, S, mat, normal, uv, in_dir, out_dir):
     rc_d = ggx_d(xp, alpha, n, h_refl)
     rc_g = ggx_g(xp, alpha, in_dir, out_dir, n, h_refl)
     denom = 4.0 * i_dot_n * o_dot_n
-    rc_val = V.where3(
-        xp,
-        denom > 0.0,
-        (f_cond * rc_d * rc_g / xp.where(denom > 0.0, denom, 1.0))[..., None] * ks,
-        xp.zeros_like(ks),
-    )
+    rc_val = V.safe_div(xp, f_cond * rc_d * rc_g, denom, 1e-12)[..., None] * ks
 
     eta_i, eta_t = _eta_swapped(xp, mat, i_dot_n)
     f_diel = V.fresnel_dielectric(xp, eta_i, eta_t, i_dot_n)
-    rd_refl_val = V.where3(
-        xp,
-        denom > 0.0,
-        (f_diel * rc_d * rc_g / xp.where(denom > 0.0, denom, 1.0))[..., None] * ks,
-        xp.zeros_like(ks),
-    )
+    rd_refl_val = V.safe_div(xp, f_diel * rc_d * rc_g, denom, 1e-12)[..., None] * ks
     h_refr = V.normalize3(
         xp, -(eta_i[..., None] * in_dir + eta_t[..., None] * out_dir)
     )
     i_dot_h = xp.abs(V.dot3(xp, in_dir, h_refr))
     o_dot_h = xp.abs(V.dot3(xp, out_dir, h_refr))
     focus_denom = i_dot_n * o_dot_n * (eta_i * i_dot_h + eta_t * o_dot_h) ** 2
-    focus = xp.where(
-        focus_denom != 0.0,
-        xp.abs(
-            eta_t * eta_t * i_dot_h * o_dot_h
-            / xp.where(focus_denom != 0.0, focus_denom, 1.0)
-        ),
-        0.0,
+    focus = xp.abs(
+        V.safe_div_abs(xp, eta_t * eta_t * i_dot_h * o_dot_h, focus_denom, 1e-12)
     )
     rd_d = ggx_d(xp, alpha, n, h_refr)
     rd_g = ggx_g(xp, alpha, in_dir, out_dir, n, h_refr)

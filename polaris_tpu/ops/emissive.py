@@ -77,16 +77,22 @@ def emissive_sample(xp, S, point, normal, l_idx, u1, u2):
         + rv[..., None] * S["tri_uvs"][tri][..., 2, :]
     )
     to_light = l_point - point
-    sq_dist = xp.maximum(V.dot3(xp, to_light, to_light), 1e-20)
+    sq_dist_raw = V.dot3(xp, to_light, to_light)
+    sq_dist = xp.maximum(sq_dist_raw, 1e-20)
     a_dist = xp.sqrt(sq_dist)
     a_dir = to_light / a_dist[..., None]
     n_dot_out = V.dot3(xp, l_normal, -a_dir)
     ke = mat_sample3(xp, S, l_uv, radiance, radiance_tex)
-    a_pdf = xp.where(n_dot_out > 0.0, 1.0 / xp.maximum(S["emis_area"][l_idx], 1e-20), 0.0)
+    a_pdf = xp.where(
+        n_dot_out > 0.0, 1.0 / xp.maximum(S["emis_area"][l_idx], 1e-20), 0.0
+    )
+    # inverse-square with a 1e-8 floor: shading points closer than 1e-4 to
+    # the light are clipped instead of overflowing f32 gradients
+    inv_sq = V.safe_div(xp, xp.ones_like(sq_dist), sq_dist_raw, 1e-8)
     a_val = V.where3(
         xp,
         n_dot_out > 0.0,
-        (scale * n_dot_out / sq_dist)[..., None] * ke,
+        (scale * n_dot_out * inv_sq)[..., None] * ke,
         xp.zeros_like(ke),
     )
 

@@ -17,6 +17,26 @@ MIN_ROUGHNESS = 0.1
 FLT_MAX = 3.4028235e38
 
 
+def safe_div(xp, num, den, thresh):
+    """``num/den`` where ``den > thresh``, else 0 — with the double-where
+    trick so the untaken branch contributes neither NaN nor overflowing
+    gradients (1/den^2 in f32 overflows for den < ~1e-19; masking *after*
+    the division is not enough because reverse-mode still differentiates the
+    division)."""
+    ok = den > thresh
+    return xp.where(ok, num / xp.where(ok, den, 1.0), zeros_like_maybe(xp, num))
+
+
+def safe_div_abs(xp, num, den, thresh):
+    """Like safe_div but for signed denominators: valid where |den| > thresh."""
+    ok = xp.abs(den) > thresh
+    return xp.where(ok, num / xp.where(ok, den, 1.0), zeros_like_maybe(xp, num))
+
+
+def zeros_like_maybe(xp, x):
+    return xp.zeros_like(x)
+
+
 def dot3(xp, a, b):
     return xp.sum(a * b, axis=-1)
 
@@ -89,13 +109,20 @@ def transform_normal(xp, w2o, n):
 
 
 def ray_to_latlong_uv(xp, d):
-    """Direction -> lat-long uv (ref: CL/util/transform.cl rayToLatLongUV)."""
-    at2 = xp.arctan2(d[..., 0], d[..., 2])
+    """Direction -> lat-long uv (ref: CL/util/transform.cl rayToLatLongUV).
+
+    Inputs to arccos/arctan2 are nudged off their singular points: exactly
+    axis-aligned directions otherwise produce infinite derivatives that
+    poison gradients through zero-cotangent chains (NaN = 0 * inf).
+    """
+    x, z = d[..., 0], d[..., 2]
+    z_safe = xp.where((x == 0.0) & (z == 0.0), 1e-12, z)
+    at2 = xp.arctan2(x, z_safe)
     at2 = xp.where(at2 >= 0.0, at2, at2 + TWO_PI)
     r = vlen3(xp, d)
-    u = at2 / TWO_PI
-    v = xp.arccos(xp.clip(d[..., 1] / xp.maximum(r, 1e-20), -1.0, 1.0)) / PI
-    return xp.stack([u, v], axis=-1)
+    c = xp.clip(d[..., 1] / xp.maximum(r, 1e-20), -1.0 + 1e-7, 1.0 - 1e-7)
+    v = xp.arccos(c) / PI
+    return xp.stack([at2 / TWO_PI, v], axis=-1)
 
 
 def reflect(xp, in_dir, n):

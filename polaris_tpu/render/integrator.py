@@ -72,8 +72,15 @@ def render_sample_block(
     radiance = jnp.zeros((n, 3), jnp.float32)
     maxt = jnp.full(n, V.FLT_MAX, jnp.float32)
 
+    sg = jax.lax.stop_gradient
     for b in range(num_bounces):
-        hit = closest(S, ray_o, ray_d, maxt, alive)
+        # Hit geometry is non-differentiable by design: the traversal is a
+        # lax.while_loop (no JVP/transpose rules), so every differentiable
+        # input is gradient-stopped — the loop never enters the tangent
+        # program. Gradients flow through shading, textures and the camera
+        # ray parameters instead (SURVEY.md §7 'Differentiability').
+        hit = closest(S, sg(ray_o), sg(ray_d), sg(maxt), alive)
+        hit = jax.lax.stop_gradient(hit)
         t = jnp.where(hit.mask, hit.t, 0.0)
         if scene_diffuse_mat >= 0:
             miss = alive & (~hit.mask)
@@ -102,7 +109,8 @@ def render_sample_block(
         radiance = radiance + out["emit_add"]
         if num_emissives > 0:
             occluded = any_hit(
-                S, out["occl_o"], out["occl_d"], out["occl_maxt"], out["occl_mask"]
+                S, sg(out["occl_o"]), sg(out["occl_d"]), sg(out["occl_maxt"]),
+                out["occl_mask"],
             )
             nee = out["occl_mask"] & (~occluded)
             radiance = radiance + jnp.where(nee[..., None], out["occl_value"], 0.0)

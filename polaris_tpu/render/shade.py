@@ -121,16 +121,19 @@ def shade(
     )
 
     # --- Russian roulette (pt_integrator.cl:112-124) ---
+    # ``bounce`` may be a traced scalar (lax.scan over bounces), so RR is
+    # always evaluated and masked by ``rr_on``.
     shade_mask = hit_mask & (~is_emissive)
-    if bounce >= min_bounces_for_rr:
-        rr_p = xp.maximum(
-            xp.minimum(xp.asarray(0.5, f32), V.luminance(xp, throughput)), 0.01
-        )
-        rr_survive = rr_p >= U(STREAM_RR)
-        throughput = xp.where(
-            (shade_mask & rr_survive)[..., None], throughput / rr_p[..., None], throughput
-        )
-        shade_mask = shade_mask & rr_survive
+    rr_on = bounce >= min_bounces_for_rr
+    rr_p = xp.maximum(
+        xp.minimum(xp.asarray(0.5, f32), V.luminance(xp, throughput)), 0.01
+    )
+    rr_survive = (~rr_on) | (rr_p >= U(STREAM_RR))
+    boost = shade_mask & rr_on & rr_survive
+    throughput = xp.where(
+        boost[..., None], throughput / rr_p[..., None], throughput
+    )
+    shade_mask = shade_mask & rr_survive
 
     # --- BxDF importance sample (pt_integrator.cl:128) ---
     u1 = U(STREAM_BXDF_U)
@@ -160,7 +163,7 @@ def shade(
             e_val
             * b_eval_e
             * throughput
-            * (e_weight * n_dot_e / xp.maximum(e_pdf * sel_pdf, 1e-20))[..., None]
+            * V.safe_div(xp, e_weight * n_dot_e, e_pdf * sel_pdf, 1e-12)[..., None]
         )
         occl_mask = shade_mask & valid_e & (V.maxcomp3(xp, e_sample) > 0.0)
         occl_maxt = xp.where(
@@ -178,10 +181,14 @@ def shade(
 
     # --- throughput update + indirect ray (pt_integrator.cl:170-177) ---
     tp_mul = b_val * tint * (b_weight * xp.abs(V.dot3(xp, normal, b_out)))[..., None]
-    indirect_mask = shade_mask & (V.maxcomp3(xp, tp_mul) > 0.0) & (b_pdf > 0.0)
+    # pdf floor 1e-12 kills numerically-degenerate lanes (also the worst
+    # fireflies); the reference divides by any positive pdf
+    # (pt_integrator.cl:174-177) which overflows f32 gradients.
+    indirect_mask = shade_mask & (V.maxcomp3(xp, tp_mul) > 0.0) & (b_pdf > 1e-12)
+    inv_pdf = V.safe_div(xp, xp.ones_like(b_pdf), b_pdf, 1e-12)
     new_throughput = xp.where(
         indirect_mask[..., None],
-        throughput * tp_mul / xp.maximum(b_pdf, 1e-30)[..., None],
+        throughput * tp_mul * inv_pdf[..., None],
         throughput,
     )
 

@@ -16,6 +16,12 @@ if "host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax
+
+# The axon plugin rewrites jax_platforms to "axon,cpu" at import time; force
+# it back before any backend initializes so tests stay on the virtual mesh.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 
