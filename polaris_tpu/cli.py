@@ -1,0 +1,237 @@
+"""polaris-tpu command line interface.
+
+Counterpart of the reference's CLI (``main.go:41-179``; actions in
+``cmd/render.go``, ``cmd/scene.go``, ``cmd/list_devices.go``):
+
+  polaris-tpu render frame <scene>        single-frame render -> PNG
+  polaris-tpu render progressive <scene>  progressive accumulation, writing
+                                          snapshots (≙ interactive mode's
+                                          +1-sample-per-frame loop without a
+                                          GL window; see render/progressive)
+  polaris-tpu scene compile <obj>         .obj -> compiled .zip artifact
+  polaris-tpu scene info <scene>          size-breakdown table
+  polaris-tpu devices                     list accelerator devices
+
+Defaults mirror the reference (main.go:76-120): 1024x1024, 16 spp, 5
+bounces, RR after 3, exposure 1.2.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+from .utils.log import get_logger, set_level
+
+_log = get_logger("cli")
+
+
+def _load_scene(path: str):
+    from .asset.scene_data import SceneData
+
+    if path.endswith(".zip"):
+        return SceneData.load(path)
+    from .asset.compiler.compiler import compile_scene
+    from .asset.wavefront import read_scene
+
+    return compile_scene(read_scene(path))
+
+
+def _save_png(path: str, img01: np.ndarray) -> None:
+    from PIL import Image
+
+    Image.fromarray((np.clip(img01, 0, 1) * 255).astype(np.uint8)).save(path)
+    _log.info("wrote %s", path)
+
+
+def _add_render_opts(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--width", type=int, default=1024)
+    p.add_argument("--height", type=int, default=1024)
+    p.add_argument("--spp", type=int, default=16)
+    p.add_argument("--num-bounces", type=int, default=5)
+    p.add_argument("--rr-bounces", type=int, default=3,
+                   help="min bounces before Russian roulette")
+    p.add_argument("--exposure", type=float, default=1.2)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--mode", default="auto",
+                   choices=["auto", "packet", "bvh", "brute"],
+                   help="traversal backend")
+    p.add_argument("--tiles", type=int, default=0,
+                   help="shard image rows over this many devices (0 = single)")
+    p.add_argument("--sample-shards", type=int, default=1,
+                   help="shard spp over this many devices (psum merge)")
+    p.add_argument("--out", default="frame.png")
+    p.add_argument("--debug", default=None,
+                   help="render a debug channel: depth|normals|uv|hitmask|"
+                        "instance|emissive_vis")
+
+
+def cmd_render_frame(args) -> int:
+    from .render.options import RenderOptions
+    from .render.stats import FrameStats, WorkerFrameStats
+
+    opt = RenderOptions(
+        width=args.width, height=args.height, spp=args.spp,
+        num_bounces=args.num_bounces, min_bounces_for_rr=args.rr_bounces,
+        exposure=args.exposure, seed=args.seed,
+    )
+    scene = _load_scene(args.scene)
+
+    import jax
+
+    if args.tiles or args.sample_shards > 1:
+        from .parallel.mesh import DistributedRenderer, make_mesh
+
+        tiles = args.tiles or 1
+        mesh = make_mesh(tiles, args.sample_shards)
+        renderer = DistributedRenderer(scene, mesh, mode=args.mode)
+        _log.info("rendering on mesh %s", dict(mesh.shape))
+    else:
+        from .render.integrator import TpuRenderer
+
+        renderer = TpuRenderer(scene, mode=args.mode)
+
+    if args.debug:
+        from .render.debug import render_debug
+
+        img = render_debug(renderer, opt, args.debug)
+        _save_png(args.out, img)
+        return 0
+
+    t0 = time.perf_counter()
+    img = renderer.render(opt)
+    total_ms = (time.perf_counter() - t0) * 1e3
+    _save_png(args.out, img)
+
+    stats = FrameStats(total_ms=total_ms)
+    devs = jax.devices()
+    n_workers = (args.tiles or 1) * args.sample_shards if (args.tiles or args.sample_shards > 1) else 1
+    rows = args.height // (args.tiles or 1)
+    for i in range(n_workers):
+        stats.workers.append(
+            WorkerFrameStats(
+                device_id=str(devs[i % len(devs)]),
+                block_w=args.width,
+                block_h=rows,
+                render_time_ms=getattr(renderer, "last_render_ms", total_ms),
+            )
+        )
+    print(stats.finalize().table())
+    return 0
+
+
+def cmd_render_progressive(args) -> int:
+    """Progressive accumulation: +spp samples per pass, periodic snapshots
+    (≙ renderer/opengl.go:136-171 accumulation without the GL window)."""
+    from .render.options import RenderOptions
+    from .render.progressive import ProgressiveRenderer
+
+    opt = RenderOptions(
+        width=args.width, height=args.height, spp=max(1, args.spp),
+        num_bounces=args.num_bounces, min_bounces_for_rr=args.rr_bounces,
+        exposure=args.exposure, seed=args.seed,
+    )
+    scene = _load_scene(args.scene)
+    prog = ProgressiveRenderer(scene, opt, mode=args.mode)
+    prog.run(
+        target_samples=args.target_spp,
+        snapshot_every=args.snapshot_every,
+        out=args.out,
+        serve_port=args.serve,
+    )
+    return 0
+
+
+def cmd_scene_compile(args) -> int:
+    from .asset.compiler.compiler import compile_scene
+    from .asset.wavefront import read_scene
+
+    t0 = time.perf_counter()
+    scene = compile_scene(read_scene(args.scene))
+    _log.info("compiled in %.0f ms", (time.perf_counter() - t0) * 1e3)
+    out = args.out or os.path.splitext(args.scene)[0] + ".zip"
+    t0 = time.perf_counter()
+    scene.save(out)
+    _log.info("serialized to %s in %.0f ms", out, (time.perf_counter() - t0) * 1e3)
+    _print_scene_stats(scene)
+    return 0
+
+
+def _print_scene_stats(scene) -> None:
+    print(f"{'Component':<24} {'Count':>10} {'Bytes':>12}")
+    print("-" * 48)
+    total = 0
+    for name, (count, nbytes) in scene.stats().items():
+        print(f"{name:<24} {count:>10} {nbytes:>12}")
+        total += nbytes
+    print("-" * 48)
+    print(f"{'TOTAL':<24} {'':>10} {total:>12}")
+
+
+def cmd_scene_info(args) -> int:
+    scene = _load_scene(args.scene)
+    _print_scene_stats(scene)
+    print(
+        f"\ncamera: fov={scene.camera_fov} eye={scene.camera_eye.tolist()} "
+        f"look={scene.camera_look.tolist()}"
+    )
+    return 0
+
+
+def cmd_devices(args) -> int:
+    """List devices (≙ cmd/list_devices.go:13-38)."""
+    import jax
+
+    print(f"{'Device':<28} {'Platform':>10} {'Kind':>16}")
+    print("-" * 58)
+    for d in jax.devices():
+        print(f"{str(d):<28} {d.platform:>10} {d.device_kind:>16}")
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="polaris-tpu")
+    parser.add_argument("-v", action="count", default=0, dest="verbosity")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_render = sub.add_parser("render", help="render commands")
+    rsub = p_render.add_subparsers(dest="rcmd", required=True)
+
+    pf = rsub.add_parser("frame", help="render a single frame")
+    pf.add_argument("scene")
+    _add_render_opts(pf)
+    pf.set_defaults(fn=cmd_render_frame)
+
+    pp = rsub.add_parser("progressive", help="progressive render")
+    pp.add_argument("scene")
+    _add_render_opts(pp)
+    pp.add_argument("--target-spp", type=int, default=256)
+    pp.add_argument("--snapshot-every", type=int, default=16)
+    pp.add_argument("--serve", type=int, default=0,
+                    help="serve live preview on this HTTP port")
+    pp.set_defaults(fn=cmd_render_progressive)
+
+    p_scene = sub.add_parser("scene", help="scene commands")
+    ssub = p_scene.add_subparsers(dest="scmd", required=True)
+    pc = ssub.add_parser("compile", help="compile .obj to a scene artifact")
+    pc.add_argument("scene")
+    pc.add_argument("--out", default=None)
+    pc.set_defaults(fn=cmd_scene_compile)
+    pi = ssub.add_parser("info", help="show compiled scene info")
+    pi.add_argument("scene")
+    pi.set_defaults(fn=cmd_scene_info)
+
+    pd = sub.add_parser("devices", help="list devices")
+    pd.set_defaults(fn=cmd_devices)
+
+    args = parser.parse_args(argv)
+    set_level(args.verbosity)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

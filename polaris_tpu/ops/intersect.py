@@ -316,14 +316,35 @@ def intersect_bvh(S, o, d, maxt, active, *, any_hit: bool):
     )
 
 
-def make_intersectors(S, scene, mode: str = "auto", brute_chunk: int = 8192):
+def make_intersectors(
+    S, scene, mode: str = "auto", brute_chunk: int = 8192, rays_per_tile: int = 64
+):
     """Build (closest_hit, any_hit) callables for a compiled scene.
 
-    mode: 'bvh', 'brute', or 'auto' (brute for small scenes).
+    mode:
+      'packet' — tile-coherent shared-stack traversal (default; fastest)
+      'bvh'    — per-lane single-ray traversal (reference-faithful fallback)
+      'brute'  — dense all-triangles testing (tiny scenes / debugging)
+      'auto'   — packet
     """
     num_tris = int(scene.tri_v0.shape[0])
     if mode == "auto":
-        mode = "brute" if num_tris <= 8192 else "bvh"
+        mode = "packet"
+
+    if mode == "packet":
+        from .intersect_packet import intersect_packet
+
+        def closest(S, o, d, maxt, active):
+            return intersect_packet(
+                S, o, d, maxt, active, any_hit=False, rays_per_tile=rays_per_tile
+            )
+
+        def any_hit(S, o, d, maxt, active):
+            return intersect_packet(
+                S, o, d, maxt, active, any_hit=True, rays_per_tile=rays_per_tile
+            ).mask
+
+        return closest, any_hit
 
     if mode == "brute":
         from ..cpu_ref.renderer import _collect_blas_triangles

@@ -162,3 +162,67 @@ class DistributedRenderer:
 
         accum = self.render_accum(opt, camera)
         return np.asarray(tonemap_reinhard(jnp, accum, 1.0 / opt.spp, opt.exposure))
+
+    # ----- distributed differentiable training -----
+
+    def make_train_step(self, opt: RenderOptions, lr: float = 0.1):
+        """Build a jitted SPMD training step: render -> loss vs target ->
+        parameter gradients all-reduced over BOTH mesh axes -> SGD update.
+
+        The gradient psum over ('tile', 'sample') is the renderer's
+        equivalent of data-parallel gradient all-reduce riding ICI
+        (SURVEY.md §2.3 'gradient all-reduce overlapped with backward
+        shading'); XLA schedules the collective inside the backward pass.
+        """
+        from ..render.shade import tonemap_reinhard
+
+        n_tiles = self.mesh.shape["tile"]
+        n_samp = self.mesh.shape["sample"]
+        assert opt.height % n_tiles == 0 and opt.spp % n_samp == 0
+        rows = opt.height // n_tiles
+
+        def body(params, geom, frustum, eye, seed, target):
+            # target arrives row-sharded over 'tile' ([rows, W, 3] here)
+            def local_loss(p):
+                accum = self._block_radiance(
+                    {**geom, **p}, frustum, eye, seed, opt=opt
+                )  # includes psum over 'sample'
+                img = tonemap_reinhard(
+                    jnp, accum + 1e-6, 1.0 / opt.spp, opt.exposure
+                )
+                return jnp.sum((img - target) ** 2) / (
+                    opt.width * opt.height * 3
+                )
+
+            # Each sample-shard's grad carries only its own samples'
+            # contribution (psum transposes to broadcast), so the full
+            # gradient is the plain psum over both axes.
+            loss, g = jax.value_and_grad(local_loss)(params)
+            loss = jax.lax.psum(loss, "tile")
+            g = jax.tree.map(lambda x: jax.lax.psum(x, ("tile", "sample")), g)
+            new_params = jax.tree.map(lambda p_, g_: p_ - lr * g_, params, g)
+            return loss, new_params
+
+        sharded = shard_map(
+            body,
+            mesh=self.mesh,
+            in_specs=(P(), P(), P(), P(), P(), P("tile", None, None)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(sharded)
+
+    def train_step(self, opt: RenderOptions, target, lr: float = 0.1, camera=None):
+        """Run one distributed optimization step; updates self.params."""
+        cam = camera or Camera.from_scene(self.scene, opt.width, opt.height)
+        fn = self.make_train_step(opt, lr)
+        loss, new_params = fn(
+            self.params,
+            self.geom,
+            jnp.asarray(cam.frustum),
+            jnp.asarray(cam.position),
+            jnp.uint32(opt.seed),
+            jnp.asarray(target),
+        )
+        self.params = new_params
+        return float(loss)

@@ -73,7 +73,9 @@ def render_sample_block(
     maxt = jnp.full(n, V.FLT_MAX, jnp.float32)
 
     sg = jax.lax.stop_gradient
-    for b in range(num_bounces):
+
+    def bounce_body(carry, b):
+        ray_o, ray_d, throughput, flags, alive, radiance = carry
         # Hit geometry is non-differentiable by design: the traversal is a
         # lax.while_loop (no JVP/transpose rules), so every differentiable
         # input is gradient-stopped — the loop never enters the tangent
@@ -114,12 +116,24 @@ def render_sample_block(
             )
             nee = out["occl_mask"] & (~occluded)
             radiance = radiance + jnp.where(nee[..., None], out["occl_value"], 0.0)
-        ray_o = out["next_o"]
-        ray_d = out["next_d"]
-        throughput = out["throughput"]
-        flags = out["flags"]
-        alive = out["next_mask"]
-    return radiance
+        carry = (
+            out["next_o"],
+            out["next_d"],
+            out["throughput"],
+            out["flags"],
+            out["next_mask"],
+            radiance,
+        )
+        return carry, None
+
+    # one compiled bounce body, scanned num_bounces times (SURVEY.md §3.2:
+    # the reference re-launches 6 kernels per bounce from the host; here the
+    # bounce loop lives inside the XLA program)
+    carry = (ray_o, ray_d, throughput, flags, alive, radiance)
+    carry, _ = jax.lax.scan(
+        bounce_body, carry, jnp.arange(num_bounces, dtype=jnp.uint32)
+    )
+    return carry[-1]
 
 
 class TpuRenderer:
@@ -154,7 +168,7 @@ class TpuRenderer:
         W, H = opt.width, opt.height
         n = W * H
 
-        def render_fn(geom, params, frustum, eye, seed):
+        def render_fn(geom, params, frustum, eye, seed, sample_offset):
             S = {**geom, **params}
             pixel_idx = jnp.arange(n, dtype=jnp.uint32)
             xs = (pixel_idx % W).astype(jnp.int32)
@@ -172,7 +186,7 @@ class TpuRenderer:
                     pixel_x=xs,
                     pixel_y=ys,
                     pixel_idx=pixel_idx,
-                    sample_idx=s,
+                    sample_idx=sample_offset + s,
                     seed=seed,
                     num_bounces=opt.num_bounces,
                     min_bounces_for_rr=opt.min_bounces_for_rr,
@@ -196,6 +210,16 @@ class TpuRenderer:
     def render_accum(
         self, opt: RenderOptions, camera: Optional[Camera] = None
     ) -> jnp.ndarray:
+        return self.render_accum_offset(opt, camera, sample_offset=0)
+
+    def render_accum_offset(
+        self,
+        opt: RenderOptions,
+        camera: Optional[Camera] = None,
+        sample_offset: int = 0,
+    ) -> jnp.ndarray:
+        """Render opt.spp samples starting at an absolute sample index —
+        progressive accumulation reuses the same compiled program."""
         cam = camera or Camera.from_scene(self.scene, opt.width, opt.height)
         fn = self._get_render_fn(opt)
         with Timer() as t:
@@ -205,6 +229,7 @@ class TpuRenderer:
                 jnp.asarray(cam.frustum),
                 jnp.asarray(cam.position),
                 jnp.uint32(opt.seed),
+                jnp.int32(sample_offset),
             )
             accum.block_until_ready()
         self.last_render_ms = t.ms

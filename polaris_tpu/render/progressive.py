@@ -1,0 +1,164 @@
+"""Progressive rendering with accumulation + optional live HTTP preview.
+
+Counterpart of the reference's interactive renderer
+(``renderer/opengl.go:57-361``): progressive accumulation adds spp samples
+per pass until a target (opengl.go:136-171), camera changes reset the
+accumulator via asynchronously-buffered state updates applied at the next
+trace (opengl.go:294-303, tracer.go:150-191). The GL window + FBO blit is
+replaced by PNG snapshots and a minimal MJPEG-less HTTP viewer (a data:
+image refresh page) — a TPU host usually has no display.
+
+Because the RNG is keyed by absolute sample index, a progressive render of
+k passes x spp equals a one-shot render at k*spp samples exactly.
+"""
+
+from __future__ import annotations
+
+import io
+import threading
+import time
+from typing import Optional
+
+import numpy as np
+
+from ..asset.camera import Camera
+from ..asset.scene_data import SceneData
+from .integrator import TpuRenderer
+from .options import RenderOptions
+from .shade import tonemap_reinhard
+from ..utils.log import get_logger
+
+_log = get_logger("progressive renderer")
+
+
+class ProgressiveRenderer:
+    def __init__(self, scene: SceneData, opt: RenderOptions, mode: str = "auto"):
+        self.scene = scene
+        self.opt = opt
+        self.renderer = TpuRenderer(scene, mode=mode)
+        self.camera = Camera.from_scene(scene, opt.width, opt.height)
+        self.accum = np.zeros((opt.height, opt.width, 3), np.float32)
+        self.accumulated_samples = 0
+        self._pending_camera: Optional[Camera] = None
+        self._lock = threading.Lock()
+        self._latest_png: bytes = b""
+
+    # --- async state updates (≙ tracer.go UpdateState(Asynchronous)) ---
+
+    def update_camera(self, camera: Camera) -> None:
+        """Buffer a camera change; applied at the next pass, resetting
+        accumulation (opengl.go:294-303)."""
+        with self._lock:
+            self._pending_camera = camera
+
+    def move_camera(self, direction: str, offset: float) -> None:
+        cam = Camera(**{**self.camera.__dict__})
+        cam.move(direction, offset)
+        self.update_camera(cam)
+
+    def _commit_changes(self) -> None:
+        with self._lock:
+            if self._pending_camera is not None:
+                self.camera = self._pending_camera
+                self._pending_camera = None
+                self.accum[:] = 0
+                self.accumulated_samples = 0
+
+    # --- rendering ---
+
+    def step(self) -> np.ndarray:
+        """Render one pass of opt.spp samples and merge into the accumulator.
+
+        Returns the current tonemapped image.
+        """
+        self._commit_changes()
+        opt = RenderOptions(
+            **{
+                **self.opt.__dict__,
+                # absolute sample offset via the seed-independent counter:
+                # samples [k, k+spp) are rendered by shifting sample_idx
+                "seed": self.opt.seed,
+            }
+        )
+        accum = self.renderer.render_accum_offset(
+            opt, self.camera, sample_offset=self.accumulated_samples
+        )
+        self.accum += np.asarray(accum)
+        self.accumulated_samples += opt.spp
+        img = tonemap_reinhard(
+            np, self.accum, 1.0 / self.accumulated_samples, opt.exposure
+        )
+        return img
+
+    def run(
+        self,
+        target_samples: int = 256,
+        snapshot_every: int = 16,
+        out: str = "frame.png",
+        serve_port: int = 0,
+    ) -> np.ndarray:
+        server = _start_server(self, serve_port) if serve_port else None
+        img = None
+        last_snap = 0
+        while self.accumulated_samples < target_samples:
+            t0 = time.perf_counter()
+            img = self.step()
+            dt = (time.perf_counter() - t0) * 1e3
+            _log.info(
+                "pass done: %d/%d samples (%.0f ms)",
+                self.accumulated_samples, target_samples, dt,
+            )
+            self._publish(img)
+            if (
+                self.accumulated_samples - last_snap >= snapshot_every
+                or self.accumulated_samples >= target_samples
+            ):
+                from PIL import Image
+
+                Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).save(out)
+                last_snap = self.accumulated_samples
+        if server:
+            server.shutdown()
+        return img
+
+    def _publish(self, img01: np.ndarray) -> None:
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray((np.clip(img01, 0, 1) * 255).astype(np.uint8)).save(
+            buf, format="PNG"
+        )
+        self._latest_png = buf.getvalue()
+
+
+def _start_server(prog: ProgressiveRenderer, port: int):
+    """Minimal live viewer: / serves an auto-refreshing page, /frame.png the
+    latest image (≙ the interactive GL blit, opengl.go:157-160)."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802
+            if self.path == "/frame.png":
+                data = prog._latest_png or b""
+                self.send_response(200)
+                self.send_header("Content-Type", "image/png")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+            else:
+                body = (
+                    b"<html><head><meta http-equiv=refresh content=1></head>"
+                    b"<body style='background:#111'><img src=/frame.png></body></html>"
+                )
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html")
+                self.end_headers()
+                self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    server = ThreadingHTTPServer(("0.0.0.0", port), Handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    _log.info("live preview at http://localhost:%d/", port)
+    return server

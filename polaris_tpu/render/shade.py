@@ -124,12 +124,15 @@ def shade(
     # ``bounce`` may be a traced scalar (lax.scan over bounces), so RR is
     # always evaluated and masked by ``rr_on``.
     shade_mask = hit_mask & (~is_emissive)
+    # NOTE: ``bounce`` may be a python int, so rr_on can be a python bool —
+    # use logical_* (a python ``~False`` is -2 and would silently turn the
+    # masks into integer arrays).
     rr_on = bounce >= min_bounces_for_rr
     rr_p = xp.maximum(
         xp.minimum(xp.asarray(0.5, f32), V.luminance(xp, throughput)), 0.01
     )
-    rr_survive = (~rr_on) | (rr_p >= U(STREAM_RR))
-    boost = shade_mask & rr_on & rr_survive
+    rr_survive = xp.logical_or(xp.logical_not(rr_on), rr_p >= U(STREAM_RR))
+    boost = shade_mask & xp.logical_and(rr_on, rr_survive)
     throughput = xp.where(
         boost[..., None], throughput / rr_p[..., None], throughput
     )
@@ -207,18 +210,21 @@ def shade(
     }
 
 
-def shade_miss(xp, S, ray_d, throughput, is_primary: bool, scene_diffuse_mat: int):
+def shade_miss(xp, S, ray_d, throughput, is_primary, scene_diffuse_mat: int):
     """Background shading for rays that miss all geometry.
 
     Primary misses add the background sample directly; indirect misses
     multiply by the path throughput (pt_integrator.cl:214-275).
+    ``is_primary`` may be a traced boolean (scan over bounces).
     """
     idx = xp.full(ray_d.shape[:-1], scene_diffuse_mat, dtype="int32")
     uv = V.ray_to_latlong_uv(xp, ray_d)
     kd = mat_sample3(
         xp, S, uv, S["mat_reflectance"][idx], S["mat_reflectance_tex"][idx]
     )
-    return kd if is_primary else throughput * kd
+    if isinstance(is_primary, bool):
+        return kd if is_primary else throughput * kd
+    return xp.where(is_primary, kd, throughput * kd)
 
 
 def tonemap_reinhard(xp, accum, sample_weight, exposure):
