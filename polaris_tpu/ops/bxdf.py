@@ -171,7 +171,11 @@ def bxdf_sample(xp, S, mat, normal, uv, in_dir, u1, u2):
     eta_i, eta_t = _eta_swapped(xp, mat, i_dot_n)
     eta = eta_i / xp.where(eta_t == 0.0, 1.0, eta_t)
     f_diel = V.fresnel_dielectric(xp, eta_i, eta_t, i_dot_n)
-    cos_t_sq = 1.0 + eta * (i_dot_n * i_dot_n - 1.0)
+    # Snell: cos^2(theta_t) = 1 - eta^2 (1 - cos^2(theta_i)). The reference
+    # uses eta instead of eta^2 (dielectric.cl:31, rough_dielectric.cl:36),
+    # bending refractions at the wrong angle AND leaving the refracted
+    # direction unnormalized — not replicated (docs/parity.md).
+    cos_t_sq = 1.0 + eta * eta * (i_dot_n * i_dot_n - 1.0)
     tir = cos_t_sq <= 0.0
     pick_reflect = tir | (u1 <= f_diel)
     sgn = xp.sign(i_dot_n)

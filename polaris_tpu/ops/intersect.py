@@ -329,7 +329,29 @@ def make_intersectors(
     """
     num_tris = int(scene.tri_v0.shape[0])
     if mode == "auto":
-        mode = "packet"
+        from .intersect_pallas import SMEM_SCENE_BUDGET, scene_smem_bytes
+
+        on_tpu = any(d.platform != "cpu" for d in __import__("jax").devices())
+        mode = (
+            "pallas"
+            if on_tpu and scene_smem_bytes(scene) <= SMEM_SCENE_BUDGET
+            else "packet"
+        )
+
+    if mode == "pallas":
+        import jax.numpy as jnp
+
+        from .intersect_pallas import intersect_pallas, pack_scene
+
+        P = {k: jnp.asarray(v) for k, v in pack_scene(scene).items()}
+
+        def closest(S, o, d, maxt, active):
+            return intersect_pallas(P, o, d, maxt, active, any_hit=False)
+
+        def any_hit(S, o, d, maxt, active):
+            return intersect_pallas(P, o, d, maxt, active, any_hit=True).mask
+
+        return closest, any_hit
 
     if mode == "packet":
         from .intersect_packet import intersect_packet

@@ -1,0 +1,378 @@
+"""Pallas TPU kernel: tile-coherent two-level BVH traversal.
+
+The performance-critical device kernel (SURVEY.md §7 step 4 — "the crux of
+the Mrays/s target"). Same algorithm as ops/intersect_packet.py (shared
+per-tile stack, vote-based descent, dense leaf testing, instance ray
+transforms with restore-on-exit; ≙ the reference's packet kernel
+CL/kernels/intersect.cl:353-575), but compiled as one Pallas program per ray
+tile instead of a frame-wide lockstep lax.while_loop:
+
+  * the whole scene (BVH nodes, triangles, instance matrices) lives in
+    SMEM — node fetches are 1-2 cycle scalar loads, not HBM gathers
+  * each grid step owns one tile of 1024 rays shaped (8, 128) — the native
+    f32 VPU tile — with all per-ray state resident in VMEM scratch
+  * traversal control flow runs on the TPU scalar core: lax.while_loop over
+    a handful of scalar registers, `pl.when`-predicated vector work, a
+    64-deep SMEM stack
+  * a tile finishes independently — no global lockstep, so the XLA packet
+    mode's "every iteration touches the whole frame's state in HBM"
+    pathology disappears
+
+Falls back (caller-side) to the XLA packet mode when the scene exceeds the
+SMEM budget.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import vec as V
+from .intersect import Hit
+
+TILE = (8, 128)
+TILE_RAYS = TILE[0] * TILE[1]
+STACK_SIZE = 64
+MAX_LEAF = 10
+
+PHASE_NODE = 0
+PHASE_POP = 1
+PHASE_DONE = 2
+
+# SMEM budget for the packed scene (bytes); beyond this callers fall back.
+SMEM_SCENE_BUDGET = 2 * 1024 * 1024
+
+
+def _kernel(
+    # --- scalar (SMEM) scene inputs ---
+    ldata_ref,      # (N,) i32
+    rdata_ref,      # (N,) i32
+    boxes_ref,      # (N, 6) f32: min xyz, max xyz
+    tris_ref,       # (T, 9) f32: v0 xyz, e1 xyz, e2 xyz
+    w2o_ref,        # (I, 12) f32: row-major 3x4 world->object
+    root_ref,       # (I,) i32 BLAS roots
+    # --- per-tile (VMEM) ray inputs ---
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, maxt_ref, act_ref,
+    # --- outputs (VMEM) ---
+    t_ref, u_ref, v_ref, tri_ref, inst_ref, found_ref,
+    # --- scratch ---
+    stack_ref,      # SMEM (STACK_SIZE,) i32
+    vote_ref,       # SMEM (8,) i32 scratch for cross-phase scalars
+    cox, coy, coz, cdx, cdy, cdz,  # VMEM (8,128) f32 current rays
+    *,
+    any_hit: bool,
+):
+    act = act_ref[:] != 0
+
+    # init state
+    cox[:] = ox_ref[:]
+    coy[:] = oy_ref[:]
+    coz[:] = oz_ref[:]
+    cdx[:] = dx_ref[:]
+    cdy[:] = dy_ref[:]
+    cdz[:] = dz_ref[:]
+    t_ref[:] = jnp.where(act, maxt_ref[:], 0.0)
+    u_ref[:] = jnp.zeros(TILE, jnp.float32)
+    v_ref[:] = jnp.zeros(TILE, jnp.float32)
+    tri_ref[:] = jnp.zeros(TILE, jnp.int32)
+    inst_ref[:] = jnp.zeros(TILE, jnp.int32)
+    found_ref[:] = jnp.zeros(TILE, jnp.int32)
+
+    num_tris = tris_ref.shape[0]
+    num_inst = root_ref.shape[0]
+
+    def live_mask():
+        if any_hit:
+            return act & (found_ref[:] == 0)
+        return act
+
+    def cond(c):
+        return c[0] != PHASE_DONE
+
+    def body(c):
+        phase, node, sp, msbi, inst = c
+        ld = ldata_ref[node]
+        rd = rdata_ref[node]
+        in_node = phase == PHASE_NODE
+        is_leaf = ld <= 0
+        is_top = in_node & is_leaf & (rd == 0)
+        is_bot = in_node & is_leaf & (rd > 0)
+        is_inner = in_node & (~is_leaf)
+
+        # ---------- top-level leaf: transform rays into the instance BLAS
+        inst_id = jnp.clip(-ld, 0, num_inst - 1)
+
+        @pl.when(is_top)
+        def _():
+            m = [w2o_ref[inst_id, k] for k in range(12)]
+            px, py, pz = cox[:], coy[:], coz[:]
+            cox[:] = m[0] * px + m[1] * py + m[2] * pz + m[3]
+            coy[:] = m[4] * px + m[5] * py + m[6] * pz + m[7]
+            coz[:] = m[8] * px + m[9] * py + m[10] * pz + m[11]
+            qx, qy, qz = cdx[:], cdy[:], cdz[:]
+            cdx[:] = m[0] * qx + m[1] * qy + m[2] * qz
+            cdy[:] = m[4] * qx + m[5] * qy + m[6] * qz
+            cdz[:] = m[8] * qx + m[9] * qy + m[10] * qz
+
+        msbi = jnp.where(is_top, sp, msbi)
+        inst = jnp.where(is_top, inst_id, inst)
+        node = jnp.where(is_top, root_ref[inst_id], node)
+
+        # ---------- bottom leaf: dense Möller–Trumbore over <= MAX_LEAF tris
+        @pl.when(is_bot)
+        def _():
+            first = -ld
+            live = live_mask()
+            px, py, pz = cox[:], coy[:], coz[:]
+            qx, qy, qz = cdx[:], cdy[:], cdz[:]
+            for j in range(MAX_LEAF):
+                idx = jnp.clip(first + j, 0, num_tris - 1)
+                v0x = tris_ref[idx, 0]
+                v0y = tris_ref[idx, 1]
+                v0z = tris_ref[idx, 2]
+                e1x = tris_ref[idx, 3]
+                e1y = tris_ref[idx, 4]
+                e1z = tris_ref[idx, 5]
+                e2x = tris_ref[idx, 6]
+                e2y = tris_ref[idx, 7]
+                e2z = tris_ref[idx, 8]
+                # pvec = d x e2
+                pvx = qy * e2z - qz * e2y
+                pvy = qz * e2x - qx * e2z
+                pvz = qx * e2y - qy * e2x
+                det = e1x * pvx + e1y * pvy + e1z * pvz
+                ok = jnp.abs(det) >= V.INTERSECTION_EPSILON
+                inv_det = 1.0 / jnp.where(ok, det, 1.0)
+                tvx = px - v0x
+                tvy = py - v0y
+                tvz = pz - v0z
+                uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                ok &= (uu >= 0.0) & (uu <= 1.0)
+                qvx = tvy * e1z - tvz * e1y
+                qvy = tvz * e1x - tvx * e1z
+                qvz = tvx * e1y - tvy * e1x
+                vv = (qx * qvx + qy * qvy + qz * qvz) * inv_det
+                ok &= (vv >= 0.0) & (uu + vv <= 1.0)
+                tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                ok &= (tt > V.INTERSECTION_EPSILON) & (tt < t_ref[:])
+                ok &= live & (j < rd)
+                t_ref[:] = jnp.where(ok, tt, t_ref[:])
+                u_ref[:] = jnp.where(ok, uu, u_ref[:])
+                v_ref[:] = jnp.where(ok, vv, v_ref[:])
+                tri_ref[:] = jnp.where(ok, first + j, tri_ref[:])
+                inst_ref[:] = jnp.where(ok, inst, inst_ref[:])
+                found_ref[:] = jnp.where(ok, 1, found_ref[:])
+
+        phase = jnp.where(is_bot, PHASE_POP, phase)
+
+        # ---------- inner node: slab tests + vote (scalars via SMEM scratch)
+        @pl.when(is_inner)
+        def _():
+            live = live_mask()
+            px, py, pz = cox[:], coy[:], coz[:]
+            qx, qy, qz = cdx[:], cdy[:], cdz[:]
+            ix = 1.0 / jnp.where(jnp.abs(qx) < 1e-30, jnp.where(qx < 0, -1e-30, 1e-30), qx)
+            iy = 1.0 / jnp.where(jnp.abs(qy) < 1e-30, jnp.where(qy < 0, -1e-30, 1e-30), qy)
+            iz = 1.0 / jnp.where(jnp.abs(qz) < 1e-30, jnp.where(qz < 0, -1e-30, 1e-30), qz)
+            best = t_ref[:]
+
+            def child_hits(ci):
+                b = [boxes_ref[ci, k] for k in range(6)]
+                tx0 = (b[0] - px) * ix
+                tx1 = (b[3] - px) * ix
+                ty0 = (b[1] - py) * iy
+                ty1 = (b[4] - py) * iy
+                tz0 = (b[2] - pz) * iz
+                tz1 = (b[5] - pz) * iz
+                tn = jnp.maximum(
+                    jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                    jnp.minimum(tz0, tz1),
+                )
+                tf = jnp.minimum(
+                    jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                    jnp.maximum(tz0, tz1),
+                )
+                hit = live & ~((tf < 0.0) | (tn > tf) | (tn >= best))
+                dist = jnp.where(hit, tn, V.FLT_MAX)
+                return jnp.any(hit), jnp.min(dist)
+
+            lw, lmin = child_hits(jnp.clip(ld, 0, None))
+            rw, rmin = child_hits(jnp.clip(rd, 0, None))
+            vote_ref[0] = lw.astype(jnp.int32)
+            vote_ref[1] = rw.astype(jnp.int32)
+            # near-first by tile-min entry distance
+            vote_ref[2] = jnp.where(lmin <= rmin, ld, rd)
+            vote_ref[3] = jnp.where(lmin <= rmin, rd, ld)
+
+        want_l = is_inner & (vote_ref[0] != 0)
+        want_r = is_inner & (vote_ref[1] != 0)
+        both = want_l & want_r
+        near = vote_ref[2]
+        far = vote_ref[3]
+
+        @pl.when(both)
+        def _():
+            stack_ref[jnp.clip(sp, 0, STACK_SIZE - 1)] = far
+
+        sp = jnp.where(both, sp + 1, sp)
+        node = jnp.where(both, near, node)
+        node = jnp.where(want_l ^ want_r, jnp.where(want_l, ld, rd), node)
+        phase = jnp.where(is_inner & ~(want_l | want_r), PHASE_POP, phase)
+
+        if any_hit:
+            # tile early-out once every live ray is occluded
+            all_done = ~jnp.any(act & (found_ref[:] == 0))
+            phase = jnp.where(in_node & all_done, PHASE_DONE, phase)
+
+        # ---------- pop (restore rays when leaving a BLAS)
+        in_pop = phase == PHASE_POP
+        restore = in_pop & (sp == msbi)
+
+        @pl.when(restore)
+        def _():
+            cox[:] = ox_ref[:]
+            coy[:] = oy_ref[:]
+            coz[:] = oz_ref[:]
+            cdx[:] = dx_ref[:]
+            cdy[:] = dy_ref[:]
+            cdz[:] = dz_ref[:]
+
+        msbi = jnp.where(restore, -1, msbi)
+        sp = jnp.where(in_pop, sp - 1, sp)
+        node = jnp.where(
+            in_pop & (sp >= 0), stack_ref[jnp.clip(sp, 0, STACK_SIZE - 1)], node
+        )
+        phase = jnp.where(
+            in_pop, jnp.where(sp >= 0, PHASE_NODE, PHASE_DONE), phase
+        )
+        return (phase, node, sp, msbi, inst)
+
+    tile_live = jnp.any(act)
+    init = (
+        jnp.where(tile_live, PHASE_NODE, PHASE_DONE).astype(jnp.int32),
+        jnp.int32(0),
+        jnp.int32(0),
+        jnp.int32(-1),
+        jnp.int32(0),
+    )
+    jax.lax.while_loop(cond, body, init)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_call(
+    num_nodes: int, num_tris: int, num_inst: int, grid: int, any_hit: bool
+):
+    # interpret mode lets the hermetic CPU test suite execute the kernel
+    interpret = jax.default_backend() == "cpu"
+    kernel = functools.partial(_kernel, any_hit=any_hit)
+    ray_spec = pl.BlockSpec(
+        (None,) + TILE, lambda g: (g, 0, 0), memory_space=pltpu.VMEM
+    )
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            smem(),  # ldata
+            smem(),  # rdata
+            smem(),  # boxes
+            smem(),  # tris
+            smem(),  # w2o
+            smem(),  # roots
+        ]
+        + [ray_spec] * 8,
+        out_specs=[ray_spec] * 6,
+        out_shape=[
+            jax.ShapeDtypeStruct((grid, *TILE), jnp.float32),  # t
+            jax.ShapeDtypeStruct((grid, *TILE), jnp.float32),  # u
+            jax.ShapeDtypeStruct((grid, *TILE), jnp.float32),  # v
+            jax.ShapeDtypeStruct((grid, *TILE), jnp.int32),    # tri
+            jax.ShapeDtypeStruct((grid, *TILE), jnp.int32),    # inst
+            jax.ShapeDtypeStruct((grid, *TILE), jnp.int32),    # found
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((STACK_SIZE,), jnp.int32),
+            pltpu.SMEM((8,), jnp.int32),
+        ]
+        + [pltpu.VMEM(TILE, jnp.float32)] * 6,
+        interpret=interpret,
+    )
+
+
+def pack_scene(scene) -> dict:
+    """Pack the compiled scene into the kernel's SMEM layout (host-side)."""
+    boxes = np.concatenate([scene.bvh_min, scene.bvh_max], axis=1).astype(np.float32)
+    tris = np.concatenate(
+        [scene.tri_v0, scene.tri_e1, scene.tri_e2], axis=1
+    ).astype(np.float32)
+    w2o = scene.inst_w2o[:, :3, :].reshape(-1, 12).astype(np.float32)
+    return {
+        "pk_ldata": scene.bvh_ldata.astype(np.int32),
+        "pk_rdata": scene.bvh_rdata.astype(np.int32),
+        "pk_boxes": boxes,
+        "pk_tris": tris,
+        "pk_w2o": w2o,
+        "pk_roots": scene.inst_bvh_root.astype(np.int32),
+    }
+
+
+def scene_smem_bytes(scene) -> int:
+    return int(
+        scene.bvh_ldata.nbytes * 2
+        + scene.bvh_min.nbytes * 2
+        + scene.tri_v0.nbytes * 3
+        + scene.inst_w2o.nbytes
+        + scene.inst_bvh_root.nbytes
+    )
+
+
+def intersect_pallas(P, o, d, maxt, active, *, any_hit: bool):
+    """P: packed scene dict (pack_scene); rays [N,3]/[N]. Returns Hit."""
+    n = o.shape[0]
+    pad = (-n) % TILE_RAYS
+    if pad:
+        o = jnp.pad(o, ((0, pad), (0, 0)))
+        d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
+        maxt = jnp.pad(maxt, (0, pad))
+        active = jnp.pad(active, (0, pad))
+    g = o.shape[0] // TILE_RAYS
+    shape = (g, *TILE)
+
+    def comp(x, i):
+        return x[:, i].reshape(shape)
+
+    call = _build_call(
+        int(P["pk_ldata"].shape[0]),
+        int(P["pk_tris"].shape[0]),
+        int(P["pk_roots"].shape[0]),
+        g,
+        any_hit,
+    )
+    t, u, v, tri, inst, found = call(
+        P["pk_ldata"],
+        P["pk_rdata"],
+        P["pk_boxes"],
+        P["pk_tris"],
+        P["pk_w2o"],
+        P["pk_roots"],
+        comp(o, 0), comp(o, 1), comp(o, 2),
+        comp(d, 0), comp(d, 1), comp(d, 2),
+        maxt.reshape(shape),
+        active.astype(jnp.int32).reshape(shape),
+    )
+    found_flat = found.reshape(-1)[:n] != 0
+    t_flat = jnp.where(found_flat, t.reshape(-1)[:n], 0.0)
+    return Hit(
+        t_flat,
+        inst.reshape(-1)[:n],
+        tri.reshape(-1)[:n],
+        u.reshape(-1)[:n],
+        v.reshape(-1)[:n],
+        active[:n] & found_flat,
+    )
