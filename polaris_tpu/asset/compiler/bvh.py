@@ -66,6 +66,7 @@ def build(
     centers: np.ndarray,
     min_leaf_items: int,
     leaf_cb: LeafCallback,
+    use_native: bool = True,
 ) -> BvhArrays:
     """Build a BVH over items described by their AABBs and centers.
 
@@ -77,6 +78,15 @@ def build(
     n = bboxes_min.shape[0]
     if n == 0:
         raise ValueError("cannot build a BVH over zero items")
+
+    if use_native:
+        from ...native import build_bvh_native
+
+        arrays = build_bvh_native(
+            bboxes_min, bboxes_max, centers, min_leaf_items, leaf_cb
+        )
+        if arrays is not None:
+            return arrays
 
     bmins: List[np.ndarray] = []
     bmaxs: List[np.ndarray] = []
