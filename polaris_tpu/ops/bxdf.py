@@ -87,7 +87,8 @@ def ggx_sample_h(xp, roughness, n, u1, u2):
     tu, tv = V.tangent_basis(xp, n)
     theta = xp.arctan(roughness * xp.sqrt(u1 / xp.maximum(1.0 - u1, 1e-9)))
     cos_t = xp.cos(theta)
-    sin_t = xp.sqrt(xp.maximum(1.0 - cos_t * cos_t, 0.0))
+    # floor keeps d(sin_t)/d(roughness) finite at theta = 0
+    sin_t = xp.sqrt(xp.maximum(1.0 - cos_t * cos_t, 1e-12))
     cos_p = xp.cos(V.TWO_PI * u2)
     sin_p = xp.sqrt(xp.maximum(1.0 - cos_p * cos_p, 0.0))
     return V.normalize3(
@@ -184,7 +185,10 @@ def bxdf_sample(xp, S, mat, normal, uv, in_dir, u1, u2):
     # (dielectric.cl:36) that inverts reflections for outside hits — a bug we
     # do not replicate (docs/parity.md).
     refl_out = (2.0 * i_dot_n)[..., None] * n - in_dir
-    refr_out = (eta * i_dot_n - sgn * xp.sqrt(xp.maximum(cos_t_sq, 0.0)))[
+    # sqrt floored at 1e-12: at exactly 0 (TIR boundary) the chain rule
+    # yields 0*inf = NaN for IOR gradients
+    refr_cos = xp.sqrt(xp.maximum(cos_t_sq, 1e-12))
+    refr_out = (eta * i_dot_n - sgn * refr_cos)[
         ..., None
     ] * n - eta[..., None] * in_dir
     g_out = V.where3(xp, pick_reflect, refl_out, refr_out)
@@ -222,7 +226,7 @@ def bxdf_sample(xp, S, mat, normal, uv, in_dir, u1, u2):
         * ks
     )
 
-    rd_refr_out = (eta * i_dot_n - sgn * xp.sqrt(xp.maximum(cos_t_sq, 0.0)))[
+    rd_refr_out = (eta * i_dot_n - sgn * refr_cos)[
         ..., None
     ] * h - eta[..., None] * in_dir
     rd_refr_h = V.normalize3(

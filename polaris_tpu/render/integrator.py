@@ -207,9 +207,30 @@ class TpuRenderer:
 
     # ----- public API -----
 
+    # samples per device launch: keeps a single XLA execution's wall time
+    # bounded (long-running executions can trip device watchdogs / RPC
+    # timeouts on tunneled TPUs; ≙ the reference's per-sample host loop,
+    # tracer.go:221-241, without its per-kernel sync cost)
+    spp_per_launch = 8
+
     def render_accum(
         self, opt: RenderOptions, camera: Optional[Camera] = None
     ) -> jnp.ndarray:
+        if opt.spp > self.spp_per_launch:
+            from dataclasses import replace
+
+            total_ms = 0.0
+            accum = None
+            done = 0
+            while done < opt.spp:
+                chunk = min(self.spp_per_launch, opt.spp - done)
+                copt = replace(opt, spp=chunk)
+                part = self.render_accum_offset(copt, camera, sample_offset=done)
+                total_ms += self.last_render_ms
+                accum = part if accum is None else accum + part
+                done += chunk
+            self.last_render_ms = total_ms
+            return accum
         return self.render_accum_offset(opt, camera, sample_offset=0)
 
     def render_accum_offset(
