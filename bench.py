@@ -36,7 +36,7 @@ def main():
             [sys.executable, os.path.join(HERE, "scenes", "generate.py")], check=True
         )
     scene = compile_scene(read_scene(obj))
-    renderer = TpuRenderer(scene, mode="packet")
+    renderer = TpuRenderer(scene, mode="auto")
     opt = RenderOptions(
         width=512, height=512, spp=16, num_bounces=5, min_bounces_for_rr=3,
     )

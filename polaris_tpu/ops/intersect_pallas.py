@@ -125,12 +125,20 @@ def _kernel(
         node = jnp.where(is_top, root_ref[inst_id], node)
 
         # ---------- bottom leaf: dense Möller–Trumbore over <= MAX_LEAF tris
+        # best-hit state accumulates in registers across the triangle loop
+        # and is written back to VMEM once
         @pl.when(is_bot)
         def _():
             first = -ld
             live = live_mask()
             px, py, pz = cox[:], coy[:], coz[:]
             qx, qy, qz = cdx[:], cdy[:], cdz[:]
+            bt = t_ref[:]
+            bu = u_ref[:]
+            bv = v_ref[:]
+            btri = tri_ref[:]
+            binst = inst_ref[:]
+            bfound = found_ref[:]
             for j in range(MAX_LEAF):
                 idx = jnp.clip(first + j, 0, num_tris - 1)
                 v0x = tris_ref[idx, 0]
@@ -160,14 +168,20 @@ def _kernel(
                 vv = (qx * qvx + qy * qvy + qz * qvz) * inv_det
                 ok &= (vv >= 0.0) & (uu + vv <= 1.0)
                 tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
-                ok &= (tt > V.INTERSECTION_EPSILON) & (tt < t_ref[:])
+                ok &= (tt > V.INTERSECTION_EPSILON) & (tt < bt)
                 ok &= live & (j < rd)
-                t_ref[:] = jnp.where(ok, tt, t_ref[:])
-                u_ref[:] = jnp.where(ok, uu, u_ref[:])
-                v_ref[:] = jnp.where(ok, vv, v_ref[:])
-                tri_ref[:] = jnp.where(ok, first + j, tri_ref[:])
-                inst_ref[:] = jnp.where(ok, inst, inst_ref[:])
-                found_ref[:] = jnp.where(ok, 1, found_ref[:])
+                bt = jnp.where(ok, tt, bt)
+                bu = jnp.where(ok, uu, bu)
+                bv = jnp.where(ok, vv, bv)
+                btri = jnp.where(ok, first + j, btri)
+                binst = jnp.where(ok, inst, binst)
+                bfound = jnp.where(ok, 1, bfound)
+            t_ref[:] = bt
+            u_ref[:] = bu
+            v_ref[:] = bv
+            tri_ref[:] = btri
+            inst_ref[:] = binst
+            found_ref[:] = bfound
 
         phase = jnp.where(is_bot, PHASE_POP, phase)
 
@@ -182,7 +196,7 @@ def _kernel(
             iz = 1.0 / jnp.where(jnp.abs(qz) < 1e-30, jnp.where(qz < 0, -1e-30, 1e-30), qz)
             best = t_ref[:]
 
-            def child_hits(ci):
+            def child_dist(ci):
                 b = [boxes_ref[ci, k] for k in range(6)]
                 tx0 = (b[0] - px) * ix
                 tx1 = (b[3] - px) * ix
@@ -199,13 +213,14 @@ def _kernel(
                     jnp.maximum(tz0, tz1),
                 )
                 hit = live & ~((tf < 0.0) | (tn > tf) | (tn >= best))
-                dist = jnp.where(hit, tn, V.FLT_MAX)
-                return jnp.any(hit), jnp.min(dist)
+                return jnp.where(hit, tn, V.FLT_MAX)
 
-            lw, lmin = child_hits(jnp.clip(ld, 0, None))
-            rw, rmin = child_hits(jnp.clip(rd, 0, None))
-            vote_ref[0] = lw.astype(jnp.int32)
-            vote_ref[1] = rw.astype(jnp.int32)
+            # one cross-lane reduction per child: the tile-min entry
+            # distance doubles as the vote (< FLT_MAX <=> some ray hit)
+            lmin = jnp.min(child_dist(jnp.clip(ld, 0, None)))
+            rmin = jnp.min(child_dist(jnp.clip(rd, 0, None)))
+            vote_ref[0] = (lmin < V.FLT_MAX).astype(jnp.int32)
+            vote_ref[1] = (rmin < V.FLT_MAX).astype(jnp.int32)
             # near-first by tile-min entry distance
             vote_ref[2] = jnp.where(lmin <= rmin, ld, rd)
             vote_ref[3] = jnp.where(lmin <= rmin, rd, ld)
@@ -226,9 +241,15 @@ def _kernel(
         phase = jnp.where(is_inner & ~(want_l | want_r), PHASE_POP, phase)
 
         if any_hit:
-            # tile early-out once every live ray is occluded
-            all_done = ~jnp.any(act & (found_ref[:] == 0))
-            phase = jnp.where(in_node & all_done, PHASE_DONE, phase)
+            # tile early-out once every live ray is occluded; `found` only
+            # changes at leaves, so the reduction is gated on is_bot
+            @pl.when(is_bot)
+            def _():
+                vote_ref[4] = jnp.any(act & (found_ref[:] == 0)).astype(jnp.int32)
+
+            phase = jnp.where(
+                is_bot & (vote_ref[4] == 0), PHASE_DONE, phase
+            )
 
         # ---------- pop (restore rays when leaving a BLAS)
         in_pop = phase == PHASE_POP

@@ -145,10 +145,28 @@ def _start_server(prog: ProgressiveRenderer, port: int):
                 self.send_header("Content-Length", str(len(data)))
                 self.end_headers()
                 self.wfile.write(data)
+            elif self.path.startswith("/move"):
+                # camera input (≙ the GL window's key handlers,
+                # opengl.go:215-292): /move?dir=forward&step=0.25
+                from urllib.parse import parse_qs, urlparse
+
+                q = parse_qs(urlparse(self.path).query)
+                direction = q.get("dir", ["forward"])[0]
+                step = float(q.get("step", ["0.25"])[0])
+                try:
+                    prog.move_camera(direction, step)
+                    self.send_response(204)
+                    self.end_headers()
+                except KeyError:
+                    self.send_response(400)
+                    self.end_headers()
             else:
                 body = (
                     b"<html><head><meta http-equiv=refresh content=1></head>"
-                    b"<body style='background:#111'><img src=/frame.png></body></html>"
+                    b"<body style='background:#111;color:#ccc;font-family:monospace'>"
+                    b"<img src=/frame.png><p>camera: GET /move?dir="
+                    b"forward|backward|left|right|up|down&amp;step=0.25</p>"
+                    b"</body></html>"
                 )
                 self.send_response(200)
                 self.send_header("Content-Type", "text/html")

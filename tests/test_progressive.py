@@ -1,0 +1,93 @@
+"""Progressive accumulation, camera updates, HTTP viewer + remote resources."""
+
+import numpy as np
+import pytest
+
+from polaris_tpu.render.integrator import TpuRenderer
+from polaris_tpu.render.options import RenderOptions
+from polaris_tpu.render.progressive import ProgressiveRenderer
+
+
+def test_progressive_equals_oneshot(cornell_scene):
+    """k passes of spp each == one render at k*spp samples (absolute sample
+    indices in the RNG counters)."""
+    opt2 = RenderOptions(width=16, height=16, spp=2, num_bounces=2, min_bounces_for_rr=3)
+    prog = ProgressiveRenderer(cornell_scene, opt2, mode="bvh")
+    prog.step()
+    prog.step()
+    assert prog.accumulated_samples == 4
+
+    opt4 = RenderOptions(width=16, height=16, spp=4, num_bounces=2, min_bounces_for_rr=3)
+    oneshot = np.asarray(TpuRenderer(cornell_scene, mode="bvh").render_accum(opt4))
+    np.testing.assert_allclose(prog.accum, oneshot, atol=1e-4)
+
+
+def test_camera_change_resets_accumulation(cornell_scene):
+    opt = RenderOptions(width=16, height=16, spp=1, num_bounces=2, min_bounces_for_rr=3)
+    prog = ProgressiveRenderer(cornell_scene, opt, mode="bvh")
+    prog.step()
+    assert prog.accumulated_samples == 1
+    prog.move_camera("forward", 0.2)
+    # buffered async: applied (and accumulator reset) at the next pass
+    assert prog.accumulated_samples == 1
+    prog.step()
+    assert prog.accumulated_samples == 1  # reset + one new pass
+
+
+def test_spp_chunking_equals_single_launch(cornell_scene):
+    r = TpuRenderer(cornell_scene, mode="bvh")
+    r.spp_per_launch = 2
+    opt = RenderOptions(width=16, height=16, spp=6, num_bounces=2, min_bounces_for_rr=3)
+    chunked = np.asarray(r.render_accum(opt))
+    r2 = TpuRenderer(cornell_scene, mode="bvh")
+    r2.spp_per_launch = 99
+    whole = np.asarray(r2.render_accum(opt))
+    np.testing.assert_allclose(chunked, whole, atol=1e-4)
+
+
+def test_http_viewer_and_camera_endpoint(cornell_scene):
+    import urllib.request
+
+    opt = RenderOptions(width=16, height=16, spp=1, num_bounces=2, min_bounces_for_rr=3)
+    prog = ProgressiveRenderer(cornell_scene, opt, mode="bvh")
+    img = prog.step()
+    prog._publish(img)
+    from polaris_tpu.render.progressive import _start_server
+
+    server = _start_server(prog, 0)
+    port = server.server_address[1]
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/frame.png") as r:
+            assert r.status == 200
+            assert r.read()[:8] == b"\x89PNG\r\n\x1a\n"
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/move?dir=forward&step=0.1"
+        ) as r:
+            assert r.status == 204
+        assert prog._pending_camera is not None
+    finally:
+        server.shutdown()
+
+
+def test_remote_scene_resource(tmp_path):
+    """HTTP-served scene assets (≙ wavefront_test.go httptest servers)."""
+    import functools
+    import threading
+    from http.server import SimpleHTTPRequestHandler, ThreadingHTTPServer
+
+    (tmp_path / "r.obj").write_text(
+        "mtllib r.mtl\nv 0 0 0\nv 1 0 0\nv 0 1 0\nusemtl m\nf 1 2 3\n"
+    )
+    (tmp_path / "r.mtl").write_text("newmtl m\nKd 0.5 0.5 0.5\n")
+    handler = functools.partial(SimpleHTTPRequestHandler, directory=str(tmp_path))
+    server = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    port = server.server_address[1]
+    try:
+        from polaris_tpu.asset.wavefront import read_scene
+
+        sc = read_scene(f"http://127.0.0.1:{port}/r.obj")
+        assert sc.meshes[0].num_triangles == 1
+        assert sc.materials[0].name == "m"
+    finally:
+        server.shutdown()
