@@ -34,6 +34,43 @@ def test_sphere_parity(sphere_scene):
     _compare(sphere_scene, opt)
 
 
+@pytest.fixture(scope="module")
+def _scene(scenes_dir):
+    import os
+
+    from polaris_tpu.asset.compiler.compiler import compile_scene
+    from polaris_tpu.asset.wavefront import read_scene
+
+    def load(name):
+        return compile_scene(read_scene(os.path.join(scenes_dir, f"{name}.obj")))
+
+    return load
+
+
+def test_mitsuba_parity(_scene):
+    """BASELINE config 3: roughConductor/roughDielectric + textures."""
+    opt = RenderOptions(width=24, height=24, spp=2, num_bounces=3, min_bounces_for_rr=4)
+    _compare(_scene("mitsuba"), opt, modes=("bvh",), atol=2e-4)
+
+
+def test_instanced_parity(_scene):
+    """BASELINE config 4: two-level BVH with transformed instances."""
+    opt = RenderOptions(width=24, height=24, spp=2, num_bounces=2, min_bounces_for_rr=3)
+    _compare(_scene("instanced"), opt, modes=("bvh", "packet"))
+
+
+def test_dispersive_parity(_scene):
+    """BASELINE config 5: dispersive dielectric + HDR env map."""
+    opt = RenderOptions(width=24, height=24, spp=2, num_bounces=3, min_bounces_for_rr=4)
+    _compare(_scene("dispersive"), opt, modes=("bvh",), atol=2e-4)
+
+
+def test_pallas_parity(cornell_scene):
+    """Pallas kernel (interpret mode on CPU) against the golden renderer."""
+    opt = RenderOptions(width=32, height=32, spp=1, num_bounces=2, min_bounces_for_rr=3)
+    _compare(cornell_scene, opt, modes=("pallas",))
+
+
 def test_image_nonblack(cornell_scene):
     opt = RenderOptions(width=32, height=32, spp=1, num_bounces=3, min_bounces_for_rr=4)
     img = TpuRenderer(cornell_scene, mode="bvh").render(opt)

@@ -1,0 +1,115 @@
+"""Scheduler policies (ref test model: tracer/scheduler_test.go table-driven
+specs with mock workers) + CLI smoke tests."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from polaris_tpu.render.scheduler import (
+    NaiveScheduler,
+    PerfectScheduler,
+    blocks_from_heights,
+)
+
+
+def test_naive_split_proportional():
+    # speeds 1:2 over 10 rows -> 3:7? reference: int(h*s/total) with
+    # remainder to worker 0 (scheduler.go:83-106): floor(10/3)=3,
+    # floor(20/3)=6, remainder 1 -> [4, 6]
+    s = NaiveScheduler([1.0, 2.0])
+    assert s.schedule(10) == [4, 6]
+
+
+def test_naive_equal():
+    s = NaiveScheduler([1.0, 1.0, 1.0, 1.0])
+    assert s.schedule(100) == [25, 25, 25, 25]
+
+
+def test_perfect_first_frame_equal():
+    s = PerfectScheduler(2)
+    assert s.schedule(10) == [5, 5]
+
+
+def test_perfect_feedback():
+    # worker 0 renders 2x faster -> next frame gets ~2/3 of the rows
+    s = PerfectScheduler(2)
+    s.report(0, block_h=5, render_time_ms=50.0)   # 0.1 rows/ms
+    s.report(1, block_h=5, render_time_ms=100.0)  # 0.05 rows/ms
+    heights = s.schedule(12)
+    assert heights == [8, 4]
+    assert sum(heights) == 12
+
+
+def test_blocks_walking_y():
+    blocks = blocks_from_heights([4, 6], 16, 10, samples_per_pixel=8)
+    assert blocks[0].block_y == 0 and blocks[0].block_h == 4
+    assert blocks[1].block_y == 4 and blocks[1].block_h == 6
+    assert blocks[1].samples_per_pixel == 8
+
+
+# ----- CLI smoke -----
+
+
+def _run_cli(args, cwd):
+    env = dict(os.environ)
+    env.update(
+        JAX_PLATFORMS="cpu",
+        JAX_PLATFORM_NAME="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=1",
+    )
+    return subprocess.run(
+        [sys.executable, "-m", "polaris_tpu.cli", *args],
+        capture_output=True,
+        text=True,
+        cwd=cwd,
+        env=env,
+        timeout=300,
+    )
+
+
+def test_cli_devices(tmp_path):
+    r = _run_cli(["devices"], str(tmp_path))
+    assert r.returncode == 0, r.stderr
+    assert "cpu" in r.stdout.lower()
+
+
+def test_cli_scene_compile_info_and_render(tmp_path, scenes_dir):
+    obj = os.path.join(scenes_dir, "cornell.obj")
+    r = _run_cli(["scene", "compile", obj, "--out", str(tmp_path / "c.zip")], str(tmp_path))
+    assert r.returncode == 0, r.stderr
+    assert (tmp_path / "c.zip").exists()
+    assert "BVH nodes" in r.stdout
+
+    r = _run_cli(["scene", "info", str(tmp_path / "c.zip")], str(tmp_path))
+    assert r.returncode == 0, r.stderr
+    assert "Triangles" in r.stdout
+
+    r = _run_cli(
+        [
+            "render", "frame", str(tmp_path / "c.zip"),
+            "--width", "32", "--height", "32", "--spp", "1",
+            "--num-bounces", "2", "--mode", "bvh",
+            "--out", str(tmp_path / "f.png"),
+        ],
+        str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr
+    assert (tmp_path / "f.png").exists()
+    assert "TOTAL" in r.stdout
+
+
+def test_cli_debug_channel(tmp_path, scenes_dir):
+    obj = os.path.join(scenes_dir, "cornell.obj")
+    r = _run_cli(
+        [
+            "render", "frame", obj, "--width", "32", "--height", "32",
+            "--mode", "bvh", "--debug", "normals",
+            "--out", str(tmp_path / "n.png"),
+        ],
+        str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr
+    assert (tmp_path / "n.png").exists()
