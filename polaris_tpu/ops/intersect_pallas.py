@@ -220,19 +220,12 @@ def _kernel(
                     hit = live & ~((tf < 0.0) | (tn > tf) | (tn >= best))
                     return jnp.where(hit, tn, V.FLT_MAX)
 
-                # fused reduction for both children: one vector->scalar
-                # synchronization per node instead of two (the scalar core
-                # stalls on each reduction it consumes)
-                both_d = jnp.concatenate(
-                    [
-                        child_dist(jnp.clip(ld, 0, None)),
-                        child_dist(jnp.clip(rd, 0, None)),
-                    ],
-                    axis=0,
-                )  # (16, 128)
-                mins = jnp.min(both_d.reshape(2, 8 * 128), axis=1)
-                lmin = mins[0]
-                rmin = mins[1]
+                # one cross-lane reduction per child: the tile-min entry
+                # distance doubles as the vote (< FLT_MAX <=> some ray hit).
+                # (A fused concatenate+reshape reduction measured ~60% slower
+                # — Mosaic inserts layout shuffles.)
+                lmin = jnp.min(child_dist(jnp.clip(ld, 0, None)))
+                rmin = jnp.min(child_dist(jnp.clip(rd, 0, None)))
                 vote_ref[0] = (lmin < V.FLT_MAX).astype(jnp.int32)
                 vote_ref[1] = (rmin < V.FLT_MAX).astype(jnp.int32)
                 # near-first by tile-min entry distance
