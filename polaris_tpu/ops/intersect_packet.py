@@ -33,7 +33,8 @@ from . import vec as V
 from .intersect import Hit
 
 STACK_SIZE = 64
-MAX_LEAF = 10  # compiler's MIN_PRIMITIVES_PER_LEAF (compiler.py)
+# must cover the compiler's largest leaf
+from ..asset.compiler.compiler import MIN_PRIMITIVES_PER_LEAF as MAX_LEAF  # noqa: E402
 
 PHASE_NODE = 0
 PHASE_POP = 1

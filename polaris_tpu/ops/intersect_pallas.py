@@ -43,7 +43,8 @@ TILE_RAYS = TILE[0] * TILE[1]
 BLOCK_TILES = 16
 BLOCK_RAYS = BLOCK_TILES * TILE_RAYS
 STACK_SIZE = 64
-MAX_LEAF = 10
+# must cover the compiler's largest leaf
+from ..asset.compiler.compiler import MIN_PRIMITIVES_PER_LEAF as MAX_LEAF  # noqa: E402
 
 PHASE_NODE = 0
 PHASE_POP = 1
