@@ -34,7 +34,7 @@ from ..scene_data import AREA_LIGHT, ENVIRONMENT_LIGHT, SceneData
 from ..texture import load_texture
 from . import bvh
 
-MIN_PRIMITIVES_PER_LEAF = 10
+MIN_PRIMITIVES_PER_LEAF = 16
 SCENE_DIFFUSE_MATERIAL = "scene_diffuse_material"
 SCENE_EMISSIVE_MATERIAL = "scene_emissive_material"
 

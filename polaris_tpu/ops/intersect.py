@@ -333,10 +333,32 @@ def make_intersectors(
 
         on_tpu = any(d.platform != "cpu" for d in __import__("jax").devices())
         mode = (
-            "pallas"
+            "pallas8"
             if on_tpu and scene_smem_bytes(scene) <= SMEM_SCENE_BUDGET
             else "packet"
         )
+
+    if mode == "pallas8":
+        import jax.numpy as jnp
+
+        from .intersect_pallas8 import intersect_pallas8, pack_scene8
+
+        P8 = {k: jnp.asarray(v) for k, v in pack_scene8(scene).items()}
+        from ..asset.compiler.compiler import MIN_PRIMITIVES_PER_LEAF
+
+        def closest(S, o, d, maxt, active):
+            return intersect_pallas8(
+                P8, o, d, maxt, active, any_hit=False,
+                max_leaf=MIN_PRIMITIVES_PER_LEAF,
+            )
+
+        def any_hit(S, o, d, maxt, active):
+            return intersect_pallas8(
+                P8, o, d, maxt, active, any_hit=True,
+                max_leaf=MIN_PRIMITIVES_PER_LEAF,
+            ).mask
+
+        return closest, any_hit
 
     if mode == "pallas":
         import jax.numpy as jnp

@@ -66,9 +66,9 @@ def test_dispersive_parity(_scene):
 
 
 def test_pallas_parity(cornell_scene):
-    """Pallas kernel (interpret mode on CPU) against the golden renderer."""
+    """Pallas kernels (interpret mode on CPU) against the golden renderer."""
     opt = RenderOptions(width=32, height=32, spp=1, num_bounces=2, min_bounces_for_rr=3)
-    _compare(cornell_scene, opt, modes=("pallas",))
+    _compare(cornell_scene, opt, modes=("pallas", "pallas8"))
 
 
 def test_image_nonblack(cornell_scene):
