@@ -333,7 +333,7 @@ def make_intersectors(
 
         on_tpu = any(d.platform != "cpu" for d in __import__("jax").devices())
         mode = (
-            "pallas8"
+            "pallas"
             if on_tpu and scene_smem_bytes(scene) <= SMEM_SCENE_BUDGET
             else "packet"
         )
