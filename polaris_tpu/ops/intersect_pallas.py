@@ -51,16 +51,18 @@ PHASE_POP = 1
 PHASE_DONE = 2
 
 # SMEM budget for the packed scene (bytes); beyond this callers fall back.
-SMEM_SCENE_BUDGET = 2 * 1024 * 1024
+# SMEM is ~1 MiB/core; leave headroom for stack/vote scratch
+SMEM_SCENE_BUDGET = 700 * 1024
 
 
 def _kernel(
     # --- scalar (SMEM) scene inputs ---
     ldata_ref,      # (N,) i32
     rdata_ref,      # (N,) i32
-    boxes_ref,      # (N, 6) f32: min xyz, max xyz
-    tris_ref,       # (T, 9) f32: v0 xyz, e1 xyz, e2 xyz
-    w2o_ref,        # (I, 12) f32: row-major 3x4 world->object
+    boxes_ref,      # (N*6,) f32: min xyz, max xyz — flat (2D SMEM arrays
+                    # pad the last dim to 128 lanes and blow the 1MB budget)
+    tris_ref,       # (T*9,) f32: v0 xyz, e1 xyz, e2 xyz — flat
+    w2o_ref,        # (I*12,) f32: row-major 3x4 world->object — flat
     root_ref,       # (I,) i32 BLAS roots
     # --- per-tile (VMEM) ray inputs ---
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, maxt_ref, act_ref,
@@ -73,7 +75,7 @@ def _kernel(
     *,
     any_hit: bool,
 ):
-    num_tris = tris_ref.shape[0]
+    num_tris = tris_ref.shape[0] // 9
     num_inst = root_ref.shape[0]
 
     def run_tile(k, _):
@@ -116,7 +118,7 @@ def _kernel(
 
             @pl.when(is_top)
             def _():
-                m = [w2o_ref[inst_id, k] for k in range(12)]
+                m = [w2o_ref[inst_id * 12 + c_] for c_ in range(12)]
                 px, py, pz = cox[:], coy[:], coz[:]
                 cox[:] = m[0] * px + m[1] * py + m[2] * pz + m[3]
                 coy[:] = m[4] * px + m[5] * py + m[6] * pz + m[7]
@@ -147,15 +149,15 @@ def _kernel(
                 bfound = found_ref[k]
                 for j in range(MAX_LEAF):
                     idx = jnp.clip(first + j, 0, num_tris - 1)
-                    v0x = tris_ref[idx, 0]
-                    v0y = tris_ref[idx, 1]
-                    v0z = tris_ref[idx, 2]
-                    e1x = tris_ref[idx, 3]
-                    e1y = tris_ref[idx, 4]
-                    e1z = tris_ref[idx, 5]
-                    e2x = tris_ref[idx, 6]
-                    e2y = tris_ref[idx, 7]
-                    e2z = tris_ref[idx, 8]
+                    v0x = tris_ref[idx * 9 + 0]
+                    v0y = tris_ref[idx * 9 + 1]
+                    v0z = tris_ref[idx * 9 + 2]
+                    e1x = tris_ref[idx * 9 + 3]
+                    e1y = tris_ref[idx * 9 + 4]
+                    e1z = tris_ref[idx * 9 + 5]
+                    e2x = tris_ref[idx * 9 + 6]
+                    e2y = tris_ref[idx * 9 + 7]
+                    e2z = tris_ref[idx * 9 + 8]
                     # pvec = d x e2
                     pvx = qy * e2z - qz * e2y
                     pvy = qz * e2x - qx * e2z
@@ -203,7 +205,7 @@ def _kernel(
                 best = t_ref[k]
 
                 def child_dist(ci):
-                    b = [boxes_ref[ci, k] for k in range(6)]
+                    b = [boxes_ref[ci * 6 + k2] for k2 in range(6)]
                     tx0 = (b[0] - px) * ix
                     tx1 = (b[3] - px) * ix
                     ty0 = (b[1] - py) * iy
@@ -340,11 +342,17 @@ def _build_call(
 
 def pack_scene(scene) -> dict:
     """Pack the compiled scene into the kernel's SMEM layout (host-side)."""
-    boxes = np.concatenate([scene.bvh_min, scene.bvh_max], axis=1).astype(np.float32)
-    tris = np.concatenate(
-        [scene.tri_v0, scene.tri_e1, scene.tri_e2], axis=1
-    ).astype(np.float32)
-    w2o = scene.inst_w2o[:, :3, :].reshape(-1, 12).astype(np.float32)
+    boxes = (
+        np.concatenate([scene.bvh_min, scene.bvh_max], axis=1)
+        .astype(np.float32)
+        .reshape(-1)
+    )
+    tris = (
+        np.concatenate([scene.tri_v0, scene.tri_e1, scene.tri_e2], axis=1)
+        .astype(np.float32)
+        .reshape(-1)
+    )
+    w2o = scene.inst_w2o[:, :3, :].astype(np.float32).reshape(-1)
     return {
         "pk_ldata": scene.bvh_ldata.astype(np.int32),
         "pk_rdata": scene.bvh_rdata.astype(np.int32),

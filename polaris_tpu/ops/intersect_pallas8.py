@@ -46,7 +46,7 @@ T_WIDE = 1
 T_BOT = 2
 T_TOP = 3
 
-SMEM_SCENE_BUDGET = 2 * 1024 * 1024
+SMEM_SCENE_BUDGET = 700 * 1024
 
 
 def _entry(typ: int, index: int, count: int = 0) -> int:
@@ -122,13 +122,15 @@ def collapse_wide(scene):
 
 def pack_scene8(scene) -> dict:
     wide = collapse_wide(scene)
-    tris = np.concatenate(
-        [scene.tri_v0, scene.tri_e1, scene.tri_e2], axis=1
-    ).astype(np.float32)
-    w2o = scene.inst_w2o[:, :3, :].reshape(-1, 12).astype(np.float32)
+    tris = (
+        np.concatenate([scene.tri_v0, scene.tri_e1, scene.tri_e2], axis=1)
+        .astype(np.float32)
+        .reshape(-1)
+    )
+    w2o = scene.inst_w2o[:, :3, :].astype(np.float32).reshape(-1)
     return {
-        "pk_boxes": wide["w8_boxes"],
-        "pk_entry": wide["w8_entry"],
+        "pk_boxes": wide["w8_boxes"].reshape(-1),
+        "pk_entry": wide["w8_entry"].reshape(-1),
         "pk_inst_entry": wide["w8_inst_entry"],
         "pk_root": np.full(1, wide["w8_root"], np.int32),
         "pk_tris": tris,
@@ -149,12 +151,12 @@ def scene_smem_bytes8(scene) -> int:
 
 
 def _kernel(
-    boxes_ref,   # SMEM (W, 48) f32
-    entry_ref,   # SMEM (W, 8) i32
+    boxes_ref,   # SMEM (W*48,) f32 — flat (2D SMEM pads the last dim)
+    entry_ref,   # SMEM (W*8,) i32 — flat
     ie_ref,      # SMEM (I,) i32 instance subtree entries
     root_ref,    # SMEM (1,) i32
-    tris_ref,    # SMEM (T, 9) f32
-    w2o_ref,     # SMEM (I, 12) f32
+    tris_ref,    # SMEM (T*9,) f32 — flat
+    w2o_ref,     # SMEM (I*12,) f32 — flat
     # rays (VMEM)
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, maxt_ref, act_ref,
     # outputs (VMEM)
@@ -167,7 +169,8 @@ def _kernel(
     any_hit: bool,
     max_leaf: int,
 ):
-    num_tris = tris_ref.shape[0]
+    num_tris = tris_ref.shape[0] // 9
+    num_wide = entry_ref.shape[0] // 8
 
     def run_tile(k, _):
         act = act_ref[k] != 0
@@ -207,7 +210,7 @@ def _kernel(
             # ---------- instance entry: transform rays, jump to subtree
             @pl.when(is_top)
             def _():
-                m = [w2o_ref[idx, c_] for c_ in range(12)]
+                m = [w2o_ref[idx * 12 + c_] for c_ in range(12)]
                 px, py, pz = cox[:], coy[:], coz[:]
                 cox[:] = m[0] * px + m[1] * py + m[2] * pz + m[3]
                 coy[:] = m[4] * px + m[5] * py + m[6] * pz + m[7]
@@ -236,15 +239,15 @@ def _kernel(
                 bfound = found_ref[k]
                 for j in range(max_leaf):
                     ti = jnp.clip(first + j, 0, num_tris - 1)
-                    v0x = tris_ref[ti, 0]
-                    v0y = tris_ref[ti, 1]
-                    v0z = tris_ref[ti, 2]
-                    e1x = tris_ref[ti, 3]
-                    e1y = tris_ref[ti, 4]
-                    e1z = tris_ref[ti, 5]
-                    e2x = tris_ref[ti, 6]
-                    e2y = tris_ref[ti, 7]
-                    e2z = tris_ref[ti, 8]
+                    v0x = tris_ref[ti * 9 + 0]
+                    v0y = tris_ref[ti * 9 + 1]
+                    v0z = tris_ref[ti * 9 + 2]
+                    e1x = tris_ref[ti * 9 + 3]
+                    e1y = tris_ref[ti * 9 + 4]
+                    e1z = tris_ref[ti * 9 + 5]
+                    e2x = tris_ref[ti * 9 + 6]
+                    e2y = tris_ref[ti * 9 + 7]
+                    e2z = tris_ref[ti * 9 + 8]
                     pvx = qy * e2z - qz * e2y
                     pvy = qz * e2x - qx * e2z
                     pvz = qx * e2y - qy * e2x
@@ -288,12 +291,12 @@ def _kernel(
                 iz = 1.0 / jnp.where(jnp.abs(qz) < 1e-30, jnp.where(qz < 0, -1e-30, 1e-30), qz)
                 best = t_ref[k]
                 for s in range(WIDTH):
-                    b0 = boxes_ref[idx, s * 6 + 0]
-                    b1 = boxes_ref[idx, s * 6 + 1]
-                    b2 = boxes_ref[idx, s * 6 + 2]
-                    b3 = boxes_ref[idx, s * 6 + 3]
-                    b4 = boxes_ref[idx, s * 6 + 4]
-                    b5 = boxes_ref[idx, s * 6 + 5]
+                    b0 = boxes_ref[idx * 48 + s * 6 + 0]
+                    b1 = boxes_ref[idx * 48 + s * 6 + 1]
+                    b2 = boxes_ref[idx * 48 + s * 6 + 2]
+                    b3 = boxes_ref[idx * 48 + s * 6 + 3]
+                    b4 = boxes_ref[idx * 48 + s * 6 + 4]
+                    b5 = boxes_ref[idx * 48 + s * 6 + 5]
                     tx0 = (b0 - px) * ix
                     tx1 = (b3 - px) * ix
                     ty0 = (b1 - py) * iy
@@ -316,7 +319,7 @@ def _kernel(
             hit_s = []
             ent_s = []
             for s in range(WIDTH):
-                e_s = entry_ref[jnp.clip(idx, 0, entry_ref.shape[0] - 1), s]
+                e_s = entry_ref[jnp.clip(idx, 0, num_wide - 1) * 8 + s]
                 valid = is_wide & (((e_s >> 28) & 0x7) != T_EMPTY)
                 hit_s.append(valid & (dmin_ref[s] < V.FLT_MAX))
                 ent_s.append(e_s)
