@@ -114,7 +114,7 @@ def gen_cornell():
         f.write("newmtl red\nmat_expr diffuse(reflectance: {0.63, 0.065, 0.05})\n\n")
         f.write("newmtl green\nmat_expr diffuse(reflectance: {0.14, 0.45, 0.091})\n\n")
         f.write("newmtl light\nmat_expr emissive(radiance: {1, 0.85, 0.7}, scale: 17)\n\n")
-        f.write("newmtl mirror\nmat_expr conductor(specularity: {0.95, 0.95, 0.95}, intIOR: 0)\n\n")
+        f.write("newmtl mirror\nmat_expr roughConductor(specularity: {0.9, 0.9, 0.92}, roughness: 0.2, intIOR: 0)\n\n")
     s = 1.0  # half box size
     with open(os.path.join(HERE, "cornell.obj"), "w") as f:
         f.write("mtllib cornell.mtl\n")

@@ -30,10 +30,11 @@ def test_material_nodes(cornell_scene):
     types = set(int(t) for t in sc.mat_type)
     assert M.BXDF_DIFFUSE in types
     assert M.BXDF_EMISSIVE in types
-    assert M.BXDF_CONDUCTOR in types
-    # conductor with intIOR: 0 override
-    cond = np.nonzero(sc.mat_type == M.BXDF_CONDUCTOR)[0][0]
+    assert M.BXDF_ROUGH_CONDUCTOR in types
+    # roughConductor with intIOR: 0 override (F = 1)
+    cond = np.nonzero(sc.mat_type == M.BXDF_ROUGH_CONDUCTOR)[0][0]
     assert sc.mat_int_ior[cond] == 0.0
+    assert sc.mat_roughness[cond] == np.float32(0.2)
 
 
 def test_blas_ranges_contiguous(cornell_scene):
