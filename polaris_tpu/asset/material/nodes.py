@@ -12,7 +12,7 @@ material_sampler.cl:4-8).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import List, Tuple, Union
+from typing import Tuple, Union
 
 from .ior import lookup_ior
 

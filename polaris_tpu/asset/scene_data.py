@@ -30,7 +30,7 @@ from __future__ import annotations
 import io
 import zipfile
 from dataclasses import dataclass, field, fields
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

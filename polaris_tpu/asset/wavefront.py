@@ -21,7 +21,6 @@ Counterpart of the reference's ``asset/scene/reader/wavefront.go`` (830 LoC):
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
@@ -29,7 +28,7 @@ import numpy as np
 
 from .. import types as T
 from ..utils.log import Timer, get_logger
-from .input_scene import Camera, Material, Mesh, MeshInstance, RawScene
+from .input_scene import Material, Mesh, MeshInstance, RawScene
 from .resource import Resource
 
 SCENE_DIFFUSE_MATERIAL = "scene_diffuse_material"

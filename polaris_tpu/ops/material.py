@@ -19,7 +19,7 @@ backend-independent.
 from __future__ import annotations
 
 from . import vec as V
-from .texture import mat_sample1, tex_bump_sample3, tex_sample1, tex_sample3
+from .texture import tex_bump_sample3, tex_sample1, tex_sample3
 
 OP_MIX = 10001
 OP_MIX_MAP = 10002
