@@ -338,6 +338,31 @@ def make_intersectors(
             else "packet"
         )
 
+    if mode == "pallas_dense":
+        import jax.numpy as jnp
+
+        from .intersect_pallas_dense import intersect_pallas_dense, pack_scene_dense
+
+        PD = pack_scene_dense(scene)
+        ranges = PD.pop("_ranges")
+        PD = {**{k: jnp.asarray(v) for k, v in PD.items()}, "_ranges": ranges}
+
+        def closest(S, o, d, maxt, active):
+            return intersect_pallas_dense(PD, o, d, maxt, active, any_hit=False)
+
+        def any_hit(S, o, d, maxt, active):
+            return intersect_pallas_dense(PD, o, d, maxt, active, any_hit=True).mask
+
+        return closest, any_hit
+
+    if mode == "hybrid":
+        # BVH packet kernel for coherent primary rays; dense kernel (no
+        # scalar-sync control flow) for incoherent bounce + occlusion rays
+        closest, _ = make_intersectors(S, scene, "pallas")
+        closest_dense, any_hit_dense = make_intersectors(S, scene, "pallas_dense")
+        closest.closest_bounce = closest_dense
+        return closest, any_hit_dense
+
     if mode == "pallas8":
         import jax.numpy as jnp
 

@@ -55,6 +55,7 @@ def render_sample_block(
     num_emissives: int,
     scene_diffuse_mat: int,
     material_depth: int = None,
+    closest_bounce=None,
 ):
     """Trace ONE sample for a block of pixels; returns radiance [N, 3].
 
@@ -74,14 +75,20 @@ def render_sample_block(
 
     sg = jax.lax.stop_gradient
 
-    def bounce_body(carry, b):
+    def make_bounce_body(closest_fn):
+        def bounce_body(carry, b):
+            return _bounce_body(closest_fn, carry, b)
+
+        return bounce_body
+
+    def _bounce_body(closest_fn, carry, b):
         ray_o, ray_d, throughput, flags, alive, radiance = carry
         # Hit geometry is non-differentiable by design: the traversal is a
         # lax.while_loop (no JVP/transpose rules), so every differentiable
         # input is gradient-stopped — the loop never enters the tangent
         # program. Gradients flow through shading, textures and the camera
         # ray parameters instead (SURVEY.md §7 'Differentiability').
-        hit = closest(S, sg(ray_o), sg(ray_d), sg(maxt), alive)
+        hit = closest_fn(S, sg(ray_o), sg(ray_d), sg(maxt), alive)
         hit = jax.lax.stop_gradient(hit)
         t = jnp.where(hit.mask, hit.t, 0.0)
         if scene_diffuse_mat >= 0:
@@ -128,11 +135,22 @@ def render_sample_block(
 
     # one compiled bounce body, scanned num_bounces times (SURVEY.md §3.2:
     # the reference re-launches 6 kernels per bounce from the host; here the
-    # bounce loop lives inside the XLA program)
+    # bounce loop lives inside the XLA program). With a hybrid traversal
+    # config, bounce 0 (coherent primaries) is peeled out of the scan so it
+    # can use the BVH kernel while bounce rays use the dense kernel.
     carry = (ray_o, ray_d, throughput, flags, alive, radiance)
-    carry, _ = jax.lax.scan(
-        bounce_body, carry, jnp.arange(num_bounces, dtype=jnp.uint32)
-    )
+    if closest_bounce is not None and num_bounces > 1:
+        carry, _ = make_bounce_body(closest)(carry, jnp.uint32(0))
+        carry, _ = jax.lax.scan(
+            make_bounce_body(closest_bounce),
+            carry,
+            jnp.arange(1, num_bounces, dtype=jnp.uint32),
+        )
+    else:
+        carry, _ = jax.lax.scan(
+            make_bounce_body(closest), carry,
+            jnp.arange(num_bounces, dtype=jnp.uint32),
+        )
     return carry[-1]
 
 
@@ -149,6 +167,7 @@ class TpuRenderer:
         self.geom = {k: jnp.asarray(v) for k, v in geom.items()}
         self.params = {k: jnp.asarray(v) for k, v in params.items()}
         self.closest, self.any_hit = make_intersectors(None, scene, mode)
+        self.closest_bounce = getattr(self.closest, "closest_bounce", None)
         self.num_emissives = int(scene.emis_area.shape[0])
         self.scene_diffuse_mat = int(scene.scene_diffuse_mat)
         from ..ops.material import material_tree_depth
@@ -193,6 +212,7 @@ class TpuRenderer:
                     num_emissives=self.num_emissives,
                     scene_diffuse_mat=self.scene_diffuse_mat,
                     material_depth=self.material_depth,
+                    closest_bounce=self.closest_bounce,
                 )
                 return accum + rad
 
