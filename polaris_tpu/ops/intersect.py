@@ -343,9 +343,7 @@ def make_intersectors(
 
         from .intersect_pallas_dense import intersect_pallas_dense, pack_scene_dense
 
-        PD = pack_scene_dense(scene)
-        ranges = PD.pop("_ranges")
-        PD = {**{k: jnp.asarray(v) for k, v in PD.items()}, "_ranges": ranges}
+        PD = {k: jnp.asarray(v) for k, v in pack_scene_dense(scene).items()}
 
         def closest(S, o, d, maxt, active):
             return intersect_pallas_dense(PD, o, d, maxt, active, any_hit=False)

@@ -37,13 +37,17 @@ DENSE_MAX_TRIS = 4096
 
 
 def _kernel(
+    ranges_ref,  # SMEM (I*2,) i32: (first, count) per instance — passed as
+                 # data so the triangle fori bounds are dynamic (static
+                 # python bounds make Mosaic fully unroll the loop and
+                 # explode compile time)
     tris_ref,    # SMEM (T*9,) f32 flat
     w2o_ref,     # SMEM (I*12,) f32 flat
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, maxt_ref, act_ref,
     t_ref, u_ref, v_ref, tri_ref, inst_ref, found_ref,
     *,
     any_hit: bool,
-    inst_ranges: Tuple[Tuple[int, int], ...],
+    num_inst: int,
 ):
     def run_tile(k, _):
         act = act_ref[k] != 0
@@ -57,7 +61,9 @@ def _kernel(
         wx, wy, wz = ox_ref[k], oy_ref[k], oz_ref[k]
         wdx, wdy, wdz = dx_ref[k], dy_ref[k], dz_ref[k]
 
-        for ii, (first, count) in enumerate(inst_ranges):
+        for ii in range(num_inst):
+            first = ranges_ref[ii * 2 + 0]
+            count = ranges_ref[ii * 2 + 1]
             m = [w2o_ref[ii * 12 + c] for c in range(12)]
             px = m[0] * wx + m[1] * wy + m[2] * wz + m[3]
             py = m[4] * wx + m[5] * wy + m[6] * wz + m[7]
@@ -124,9 +130,9 @@ def _kernel(
 
 
 @functools.lru_cache(maxsize=None)
-def _build_call(num_tris, grid, any_hit, inst_ranges):
+def _build_call(num_tris, grid, any_hit, num_inst):
     interpret = jax.default_backend() == "cpu"
-    kernel = functools.partial(_kernel, any_hit=any_hit, inst_ranges=inst_ranges)
+    kernel = functools.partial(_kernel, any_hit=any_hit, num_inst=num_inst)
     ray_spec = pl.BlockSpec(
         (None, BLOCK_TILES) + TILE, lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM
     )
@@ -134,7 +140,7 @@ def _build_call(num_tris, grid, any_hit, inst_ranges):
     return pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[smem(), smem()] + [ray_spec] * 8,
+        in_specs=[smem(), smem(), smem()] + [ray_spec] * 8,
         out_specs=[ray_spec] * 6,
         out_shape=[
             jax.ShapeDtypeStruct((grid, BLOCK_TILES, *TILE), jnp.float32),
@@ -163,7 +169,11 @@ def pack_scene_dense(scene) -> dict:
         first, count = int(t.min()), int(t.size)
         assert t.max() - first + 1 == count
         ranges.append((first, count))
-    return {"pk_tris": tris, "pk_w2o": w2o, "_ranges": tuple(ranges)}
+    return {
+        "pk_ranges": np.asarray(ranges, np.int32).reshape(-1),
+        "pk_tris": tris,
+        "pk_w2o": w2o,
+    }
 
 
 def intersect_pallas_dense(P, o, d, maxt, active, *, any_hit: bool):
@@ -181,9 +191,11 @@ def intersect_pallas_dense(P, o, d, maxt, active, *, any_hit: bool):
         return x[:, i].reshape(shape)
 
     call = _build_call(
-        int(P["pk_tris"].shape[0]) // 9, g, any_hit, P["_ranges"]
+        int(P["pk_tris"].shape[0]) // 9, g, any_hit,
+        int(P["pk_w2o"].shape[0]) // 12,
     )
     t, u, v, tri, inst, found = call(
+        P["pk_ranges"],
         P["pk_tris"],
         P["pk_w2o"],
         comp(o, 0), comp(o, 1), comp(o, 2),
