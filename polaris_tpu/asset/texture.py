@@ -59,10 +59,9 @@ def load_texture(res) -> Texture:
     if ext == ".hdr":
         return _load_hdr(path)
     if ext == ".exr":
-        raise NotImplementedError(
-            "EXR decoding requires OpenEXR bindings; convert to .hdr (Radiance) "
-            "which is supported natively"
-        )
+        from .exr import read_exr
+
+        return Texture(read_exr(path).astype(np.float32), RGBA32F)
     return _load_pil(path)
 
 
