@@ -42,6 +42,7 @@ class ProgressiveRenderer:
         self._pending_camera: Optional[Camera] = None
         self._lock = threading.Lock()
         self._latest_png: bytes = b""
+        self.pass_history: list = []  # (accumulated_samples, ms) per pass
 
     # --- async state updates (≙ tracer.go UpdateState(Asynchronous)) ---
 
@@ -108,6 +109,7 @@ class ProgressiveRenderer:
                 "pass done: %d/%d samples (%.0f ms)",
                 self.accumulated_samples, target_samples, dt,
             )
+            self.pass_history.append((self.accumulated_samples, dt))
             self._publish(img)
             if (
                 self.accumulated_samples - last_snap >= snapshot_every
@@ -145,6 +147,24 @@ def _start_server(prog: ProgressiveRenderer, port: int):
                 self.send_header("Content-Length", str(len(data)))
                 self.end_headers()
                 self.wfile.write(data)
+            elif self.path == "/stats":
+                # per-pass timing history (≙ the interactive TAB overlay's
+                # stacked chart, opengl.go:305-361)
+                import json
+
+                body = json.dumps(
+                    {
+                        "accumulated_samples": prog.accumulated_samples,
+                        "passes": [
+                            {"samples": s_, "ms": ms}
+                            for s_, ms in prog.pass_history[-100:]
+                        ],
+                    }
+                ).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(body)
             elif self.path.startswith("/move"):
                 # camera input (≙ the GL window's key handlers,
                 # opengl.go:215-292): /move?dir=forward&step=0.25
@@ -165,7 +185,7 @@ def _start_server(prog: ProgressiveRenderer, port: int):
                     b"<html><head><meta http-equiv=refresh content=1></head>"
                     b"<body style='background:#111;color:#ccc;font-family:monospace'>"
                     b"<img src=/frame.png><p>camera: GET /move?dir="
-                    b"forward|backward|left|right|up|down&amp;step=0.25</p>"
+                    b"forward|backward|left|right|up|down&amp;step=0.25 &middot; stats: GET /stats</p>"
                     b"</body></html>"
                 )
                 self.send_response(200)
