@@ -36,6 +36,26 @@ from .shade import shade, shade_miss, tonemap_reinhard
 _log = get_logger("tpu renderer")
 
 
+def _compact_pos(mask):
+    """Stable partition target slots: masked lanes first, others after.
+
+    cumsum-based (no sort): position[i] = rank of lane i within its class.
+    Used to pack live rays into the leading traversal tiles so the packet
+    kernels' all-dead-tile early exit turns low occupancy into real savings
+    (the reference gets the same effect from its atomic compaction queues,
+    pt_integrator.cl:49-64).
+    """
+    a = mask.astype(jnp.int32)
+    live_pos = jnp.cumsum(a) - 1
+    n_live = jnp.sum(a)
+    dead_pos = n_live + jnp.cumsum(1 - a) - 1
+    return jnp.where(mask, live_pos, dead_pos)
+
+
+def _scatter_to(pos, x):
+    return jnp.zeros_like(x).at[pos].set(x)
+
+
 def render_sample_block(
     S: Dict,
     closest,
@@ -56,6 +76,7 @@ def render_sample_block(
     scene_diffuse_mat: int,
     material_depth: int = None,
     closest_bounce=None,
+    compact: bool = True,
 ):
     """Trace ONE sample for a block of pixels; returns radiance [N, 3].
 
@@ -65,6 +86,7 @@ def render_sample_block(
     reference's BlockY-offset row bands (camera.cl:32, default.go:127-136).
     """
     n = pixel_idx.shape[0]
+    pixel_idx = pixel_idx.astype(jnp.uint32)
     U0 = rng.make_uniform(rng.jnp_uniform, seed, pixel_idx, sample_idx, 0)
     ray_o, ray_d = gen_rays(jnp, frustum, eye, width, height, pixel_x, pixel_y, U0)
     throughput = jnp.ones((n, 3), jnp.float32)
@@ -82,7 +104,19 @@ def render_sample_block(
         return bounce_body
 
     def _bounce_body(closest_fn, carry, b):
-        ray_o, ray_d, throughput, flags, alive, radiance = carry
+        ray_o, ray_d, throughput, flags, alive, radiance, pix, lane = carry
+        if compact:
+            # pack live lanes into the leading tiles; the RNG is keyed by
+            # the carried pixel id so results are lane-order invariant
+            pos = _compact_pos(alive)
+            ray_o = _scatter_to(pos, ray_o)
+            ray_d = _scatter_to(pos, ray_d)
+            throughput = _scatter_to(pos, throughput)
+            flags = _scatter_to(pos, flags)
+            radiance = _scatter_to(pos, radiance)
+            pix = _scatter_to(pos, pix)
+            lane = _scatter_to(pos, lane)
+            alive = _scatter_to(pos, alive)
         # Hit geometry is non-differentiable by design: the traversal is a
         # lax.while_loop (no JVP/transpose rules), so every differentiable
         # input is gradient-stopped — the loop never enters the tangent
@@ -95,7 +129,7 @@ def render_sample_block(
             miss = alive & (~hit.mask)
             bg = shade_miss(jnp, S, ray_d, throughput, b == 0, scene_diffuse_mat)
             radiance = radiance + jnp.where(miss[..., None], bg, 0.0)
-        U = rng.make_uniform(rng.jnp_uniform, seed, pixel_idx, sample_idx, b)
+        U = rng.make_uniform(rng.jnp_uniform, seed, pix, sample_idx, b)
         out = shade(
             jnp,
             S,
@@ -117,11 +151,26 @@ def render_sample_block(
         )
         radiance = radiance + out["emit_add"]
         if num_emissives > 0:
-            occluded = any_hit(
-                S, sg(out["occl_o"]), sg(out["occl_d"]), sg(out["occl_maxt"]),
-                out["occl_mask"],
-            )
-            nee = out["occl_mask"] & (~occluded)
+            om = out["occl_mask"]
+            if compact:
+                # shadow rays are far sparser than live lanes (SURVEY noise
+                # analysis: ~7% lanes over ~69% tiles at bounce 1) — pack
+                # them separately and map the verdicts back
+                opos = _compact_pos(om)
+                occluded_c = any_hit(
+                    S,
+                    sg(_scatter_to(opos, out["occl_o"])),
+                    sg(_scatter_to(opos, out["occl_d"])),
+                    sg(_scatter_to(opos, out["occl_maxt"])),
+                    _scatter_to(opos, om),
+                )
+                occluded = occluded_c[opos]
+            else:
+                occluded = any_hit(
+                    S, sg(out["occl_o"]), sg(out["occl_d"]), sg(out["occl_maxt"]),
+                    om,
+                )
+            nee = om & (~occluded)
             radiance = radiance + jnp.where(nee[..., None], out["occl_value"], 0.0)
         carry = (
             out["next_o"],
@@ -130,6 +179,8 @@ def render_sample_block(
             out["flags"],
             out["next_mask"],
             radiance,
+            pix,
+            lane,
         )
         return carry, None
 
@@ -138,7 +189,8 @@ def render_sample_block(
     # bounce loop lives inside the XLA program). With a hybrid traversal
     # config, bounce 0 (coherent primaries) is peeled out of the scan so it
     # can use the BVH kernel while bounce rays use the dense kernel.
-    carry = (ray_o, ray_d, throughput, flags, alive, radiance)
+    lane_ids = jnp.arange(n, dtype=jnp.int32)
+    carry = (ray_o, ray_d, throughput, flags, alive, radiance, pixel_idx, lane_ids)
     if closest_bounce is not None and num_bounces > 1:
         carry, _ = make_bounce_body(closest)(carry, jnp.uint32(0))
         carry, _ = jax.lax.scan(
@@ -151,7 +203,13 @@ def render_sample_block(
             make_bounce_body(closest), carry,
             jnp.arange(num_bounces, dtype=jnp.uint32),
         )
-    return carry[-1]
+    radiance, lane = carry[-3], carry[-1]
+    if compact:
+        # radiance is in compacted lane order; scatter back by the carried
+        # *local* lane id (pix is the full-frame index, wrong for sharded
+        # row blocks)
+        radiance = jnp.zeros_like(radiance).at[lane].set(radiance)
+    return radiance
 
 
 class TpuRenderer:
