@@ -52,6 +52,13 @@ def _compact_pos(mask):
     return jnp.where(mask, live_pos, dead_pos)
 
 
+def _inv_perm(pos):
+    """Invert a permutation with ONE int scatter; data then moves with row
+    gathers (TPU scatters are an order of magnitude slower than gathers)."""
+    n = pos.shape[0]
+    return jnp.zeros(n, pos.dtype).at[pos].set(jnp.arange(n, dtype=pos.dtype))
+
+
 def _scatter_to(pos, x):
     return jnp.zeros_like(x).at[pos].set(x)
 
@@ -76,7 +83,7 @@ def render_sample_block(
     scene_diffuse_mat: int,
     material_depth: int = None,
     closest_bounce=None,
-    compact: bool = True,
+    compact: bool = False,
 ):
     """Trace ONE sample for a block of pixels; returns radiance [N, 3].
 
@@ -109,14 +116,15 @@ def render_sample_block(
             # pack live lanes into the leading tiles; the RNG is keyed by
             # the carried pixel id so results are lane-order invariant
             pos = _compact_pos(alive)
-            ray_o = _scatter_to(pos, ray_o)
-            ray_d = _scatter_to(pos, ray_d)
-            throughput = _scatter_to(pos, throughput)
-            flags = _scatter_to(pos, flags)
-            radiance = _scatter_to(pos, radiance)
-            pix = _scatter_to(pos, pix)
-            lane = _scatter_to(pos, lane)
-            alive = _scatter_to(pos, alive)
+            inv = _inv_perm(pos)
+            ray_o = ray_o[inv]
+            ray_d = ray_d[inv]
+            throughput = throughput[inv]
+            flags = flags[inv]
+            radiance = radiance[inv]
+            pix = pix[inv]
+            lane = lane[inv]
+            alive = alive[inv]
         # Hit geometry is non-differentiable by design: the traversal is a
         # lax.while_loop (no JVP/transpose rules), so every differentiable
         # input is gradient-stopped — the loop never enters the tangent
@@ -157,12 +165,13 @@ def render_sample_block(
                 # analysis: ~7% lanes over ~69% tiles at bounce 1) — pack
                 # them separately and map the verdicts back
                 opos = _compact_pos(om)
+                oinv = _inv_perm(opos)
                 occluded_c = any_hit(
                     S,
-                    sg(_scatter_to(opos, out["occl_o"])),
-                    sg(_scatter_to(opos, out["occl_d"])),
-                    sg(_scatter_to(opos, out["occl_maxt"])),
-                    _scatter_to(opos, om),
+                    sg(out["occl_o"][oinv]),
+                    sg(out["occl_d"][oinv]),
+                    sg(out["occl_maxt"][oinv]),
+                    om[oinv],
                 )
                 occluded = occluded_c[opos]
             else:
@@ -205,10 +214,10 @@ def render_sample_block(
         )
     radiance, lane = carry[-3], carry[-1]
     if compact:
-        # radiance is in compacted lane order; scatter back by the carried
-        # *local* lane id (pix is the full-frame index, wrong for sharded
-        # row blocks)
-        radiance = jnp.zeros_like(radiance).at[lane].set(radiance)
+        # radiance is in compacted lane order; restore pixel order with one
+        # int scatter + gather (lane is the carried *local* id — pix is the
+        # full-frame index, wrong for sharded row blocks)
+        radiance = radiance[_inv_perm(lane.astype(jnp.int32))]
     return radiance
 
 
