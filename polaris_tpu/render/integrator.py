@@ -228,8 +228,9 @@ class TpuRenderer:
     'pallas' once available).
     """
 
-    def __init__(self, scene: SceneData, mode: str = "auto"):
+    def __init__(self, scene: SceneData, mode: str = "auto", compact: bool = False):
         self.scene = scene
+        self.compact = compact
         geom, params = scene.split_params()
         self.geom = {k: jnp.asarray(v) for k, v in geom.items()}
         self.params = {k: jnp.asarray(v) for k, v in params.items()}
@@ -280,6 +281,7 @@ class TpuRenderer:
                     scene_diffuse_mat=self.scene_diffuse_mat,
                     material_depth=self.material_depth,
                     closest_bounce=self.closest_bounce,
+                    compact=self.compact,
                 )
                 return accum + rad
 
