@@ -200,7 +200,14 @@ def render_sample_block(
     # can use the BVH kernel while bounce rays use the dense kernel.
     lane_ids = jnp.arange(n, dtype=jnp.int32)
     carry = (ray_o, ray_d, throughput, flags, alive, radiance, pixel_idx, lane_ids)
-    if closest_bounce is not None and num_bounces > 1:
+    if compact:
+        # unrolled bounce loop: XLA hangs compiling 262k-row gathers inside
+        # lax.scan but handles them at the top level (CLAUDE.md quirks)
+        body = make_bounce_body(closest)
+        for b in range(num_bounces):
+            bb = closest_bounce if (closest_bounce is not None and b > 0) else closest
+            carry, _ = make_bounce_body(bb)(carry, jnp.uint32(b))
+    elif closest_bounce is not None and num_bounces > 1:
         carry, _ = make_bounce_body(closest)(carry, jnp.uint32(0))
         carry, _ = jax.lax.scan(
             make_bounce_body(closest_bounce),
