@@ -32,7 +32,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..asset.camera import Camera
 from ..asset.scene_data import SceneData
 from ..ops.intersect import make_intersectors
-from ..render.integrator import render_sample_block
+from ..render.integrator import blocked_pixel_order, render_sample_block
 from ..render.options import RenderOptions
 from ..utils.log import Timer, get_logger
 
@@ -83,9 +83,12 @@ class DistributedRenderer:
         row0 = tile_idx * rows
 
         n = rows * W
-        local = jnp.arange(n, dtype=jnp.uint32)
-        xs = (local % W).astype(jnp.int32)
-        ys = (local // W).astype(jnp.int32) + row0
+        # lanes walk the band in 32x32 screen blocks (see
+        # integrator.blocked_pixel_order) — host constants; row0 is traced
+        h_xs, h_ys, _, h_inv = blocked_pixel_order(W, rows)
+        blocked = not np.array_equal(h_xs, np.arange(n, dtype=np.int64) % W)
+        xs = jnp.asarray(h_xs)
+        ys = jnp.asarray(h_ys).astype(jnp.int32) + row0
         # full-frame pixel index keys the RNG -> sharding-invariant image
         pixel_idx = ys.astype(jnp.uint32) * W + xs.astype(jnp.uint32)
 
@@ -117,6 +120,8 @@ class DistributedRenderer:
         )
         # ≙ aggregateAccumulator merge onto the primary (accumulator.cl:13-19)
         accum = jax.lax.psum(accum, "sample")
+        if blocked:
+            accum = accum[jnp.asarray(h_inv)]
         return accum.reshape(rows, W, 3)
 
     def _get_render_fn(self, opt: RenderOptions):

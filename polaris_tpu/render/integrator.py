@@ -63,6 +63,40 @@ def _scatter_to(pos, x):
     return jnp.zeros_like(x).at[pos].set(x)
 
 
+def blocked_pixel_order(width: int, height: int, block: int = 32):
+    """Host-side lane->pixel mapping in block x block screen tiles.
+
+    A traversal tile of 1024 consecutive lanes then covers a 32x32 pixel
+    block instead of a 2-row strip: primary cones and bounce-ray origin
+    clusters shrink ~16x in extent, tightening the packet kernels' node
+    unions for every pass. Returns (xs, ys, pixel_idx, inv_lane) as numpy
+    arrays; inv_lane[p] is the lane holding pixel p (constant gather used
+    once per render to restore pixel order). Falls back to row-major when
+    the frame doesn't divide into blocks.
+    """
+    n = width * height
+    if width % block or height % block:
+        idx = np.arange(n, dtype=np.int64)
+        return (
+            (idx % width).astype(np.int32),
+            (idx // width).astype(np.int32),
+            idx.astype(np.uint32),
+            idx.astype(np.int32),
+        )
+    bw = width // block
+    lane = np.arange(n, dtype=np.int64)
+    b = lane // (block * block)
+    within = lane % (block * block)
+    bx = (b % bw) * block
+    by = (b // bw) * block
+    xs = (bx + within % block).astype(np.int32)
+    ys = (by + within // block).astype(np.int32)
+    pixel_idx = (ys.astype(np.int64) * width + xs).astype(np.uint32)
+    inv_lane = np.empty(n, np.int64)
+    inv_lane[pixel_idx] = lane
+    return xs, ys, pixel_idx, inv_lane.astype(np.int32)
+
+
 def render_sample_block(
     S: Dict,
     closest,
@@ -262,11 +296,17 @@ class TpuRenderer:
         W, H = opt.width, opt.height
         n = W * H
 
+        # lane->pixel mapping in 32x32 screen blocks (host constants): each
+        # 1024-lane traversal tile covers a compact screen block, tightening
+        # packet-kernel node unions for primary, bounce and shadow passes
+        h_xs, h_ys, h_pix, h_inv = blocked_pixel_order(W, H)
+        blocked = not np.array_equal(h_pix, np.arange(n, dtype=np.uint32))
+
         def render_fn(geom, params, frustum, eye, seed, sample_offset):
             S = {**geom, **params}
-            pixel_idx = jnp.arange(n, dtype=jnp.uint32)
-            xs = (pixel_idx % W).astype(jnp.int32)
-            ys = (pixel_idx // W).astype(jnp.int32)
+            pixel_idx = jnp.asarray(h_pix)
+            xs = jnp.asarray(h_xs)
+            ys = jnp.asarray(h_ys)
 
             def sample_body(s, accum):
                 rad = render_sample_block(
@@ -295,6 +335,11 @@ class TpuRenderer:
             accum = jax.lax.fori_loop(
                 0, opt.spp, sample_body, jnp.zeros((n, 3), jnp.float32)
             )
+            if blocked:
+                # one constant-index gather restores pixel order (outside all
+                # loops — cheap, and RNG keys by pixel id so the image is
+                # bit-identical to row-major lane order)
+                accum = accum[jnp.asarray(h_inv)]
             return accum.reshape(H, W, 3)
 
         fn = jax.jit(render_fn)
