@@ -63,6 +63,10 @@ def __getattr__(name):
         from .render.progressive import ProgressiveRenderer
 
         return ProgressiveRenderer
+    if name in ("Pipeline", "default_pipeline"):
+        from .render import pipeline as _pl
+
+        return getattr(_pl, name)
     if name == "DistributedRenderer":
         from .parallel.mesh import DistributedRenderer
 

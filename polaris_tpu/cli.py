@@ -58,7 +58,8 @@ def _add_render_opts(p: argparse.ArgumentParser) -> None:
     p.add_argument("--exposure", type=float, default=1.2)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--mode", default="auto",
-                   choices=["auto", "packet", "bvh", "brute"],
+                   choices=["auto", "pallas", "pallas8", "pallas_dense",
+                            "hybrid", "packet", "bvh", "brute"],
                    help="traversal backend")
     p.add_argument("--tiles", type=int, default=0,
                    help="shard image rows over this many devices (0 = single)")
@@ -67,7 +68,7 @@ def _add_render_opts(p: argparse.ArgumentParser) -> None:
     p.add_argument("--out", default="frame.png")
     p.add_argument("--debug", default=None,
                    help="render a debug channel: depth|normals|uv|hitmask|"
-                        "instance|emissive_vis")
+                        "instance|emissive_vis|throughput|accumulator")
 
 
 def cmd_render_frame(args) -> int:

@@ -152,6 +152,26 @@ def fresnel_dielectric(xp, eta_i, eta_t, i_dot_n):
     return r0 + (1.0 - r0) * c * c * c * c * c
 
 
+def fresnel_conductor_exact(xp, cos_i, eta, k):
+    """Exact unpolarized conductor Fresnel with complex IOR eta - i*k
+    (ref: CL/util/fresnel.cl:20-29 — defined there but unused by the
+    built-in bxdfs; provided for parity and for spectral material work).
+    """
+    c2 = cos_i * cos_i
+    s2 = 1.0 - c2
+    e2, k2 = eta * eta, k * k
+    t0 = e2 - k2 - s2
+    a2b2 = xp.sqrt(xp.maximum(t0 * t0 + 4.0 * e2 * k2, 0.0))
+    t1 = a2b2 + c2
+    a = xp.sqrt(xp.maximum(0.5 * (a2b2 + t0), 0.0))
+    t2 = 2.0 * a * cos_i
+    rs = safe_div(xp, t1 - t2, t1 + t2, 1e-12)
+    t3 = c2 * a2b2 + s2 * s2
+    t4 = t2 * s2
+    rp = rs * safe_div(xp, t3 - t4, t3 + t4, 1e-12)
+    return 0.5 * (rp + rs)
+
+
 def cos_weighted_hemisphere(xp, n, u1, u2):
     """Cosine-weighted hemisphere sample (distribution_sampler.cl:100-112)."""
     rd = xp.sqrt(xp.maximum(u1, 0.0))

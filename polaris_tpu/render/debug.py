@@ -22,13 +22,27 @@ from ..ops import vec as V
 from ..render.options import RenderOptions
 from ..render.raygen import gen_rays
 
-DEBUG_CHANNELS = ("depth", "normals", "uv", "hitmask", "instance", "emissive_vis")
+DEBUG_CHANNELS = (
+    "depth",
+    "normals",
+    "uv",
+    "hitmask",
+    "instance",
+    "emissive_vis",
+    "throughput",
+    "accumulator",
+)
 
 
 def render_debug(renderer, opt: RenderOptions, channel: str, camera=None) -> np.ndarray:
     """Render one debug channel to a [H, W, 3] float image in [0, 1]."""
     scene = renderer.scene
     cam = camera or Camera.from_scene(scene, opt.width, opt.height)
+    if channel == "accumulator":
+        # raw radiance accumulator normalized by sample count
+        # (≙ debugAccumulator, debug.cl:143-156)
+        acc = np.asarray(renderer.render_accum(opt, camera=cam))
+        return np.clip(acc / max(opt.spp, 1), 0.0, 1.0)
     S = {**renderer.geom, **renderer.params}
     W, H = opt.width, opt.height
     n = W * H
@@ -85,6 +99,26 @@ def render_debug(renderer, opt: RenderOptions, channel: str, camera=None) -> np.
                 axis=-1,
             )
             v = jnp.where(hit.mask[..., None], v, 0.0)
+        elif channel == "throughput":
+            # path throughput after the first bounce's BxDF sample
+            # (≙ debugThroughput, debug.cl:122-140)
+            from ..render.shade import shade
+
+            U = rng.make_uniform(rng.jnp_uniform, seed, pixel_idx, 0, 0)
+            t = jnp.where(hit.mask, hit.t, 0.0)
+            out = shade(
+                jnp, S, U,
+                bounce=0,
+                min_bounces_for_rr=99,
+                num_emissives=renderer.num_emissives,
+                material_depth=renderer.material_depth,
+                ray_o=o, ray_d=d, t=t,
+                inst=hit.inst, tri=hit.tri, bary_u=hit.u, bary_v=hit.v,
+                hit_mask=hit.mask,
+                throughput=jnp.ones((n, 3), jnp.float32),
+                flags=jnp.zeros(n, jnp.uint32),
+            )
+            v = jnp.where(out["next_mask"][..., None], out["throughput"], 0.0)
         elif channel == "emissive_vis":
             # visibility of the NEE occlusion rays from the first bounce
             # (≙ debugEmissiveSamples occluded/visible masks)

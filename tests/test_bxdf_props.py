@@ -162,3 +162,34 @@ def test_eval_reciprocity_diffuse():
     a = bxdf_eval(np, _S, mat, normal, uv, in_dir, out)
     b = bxdf_eval(np, _S, mat, normal, uv, out, in_dir)
     np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_fresnel_conductor_exact():
+    """Normal incidence: ((n-1)^2+k^2)/((n+1)^2+k^2); grazing -> 1."""
+    from polaris_tpu.ops.vec import fresnel_conductor_exact
+
+    eta, k = np.float32(0.2), np.float32(3.9)  # gold-ish at 600nm
+    f0 = fresnel_conductor_exact(np, np.float32(1.0), eta, k)
+    expect = ((eta - 1) ** 2 + k**2) / ((eta + 1) ** 2 + k**2)
+    np.testing.assert_allclose(f0, expect, rtol=1e-5)
+    fg = fresnel_conductor_exact(np, np.float32(1e-4), eta, k)
+    assert fg > 0.99
+    # bounded in [0,1] everywhere (metals dip slightly before the grazing
+    # rise, so monotonicity is NOT expected)
+    c = np.linspace(1.0, 0.01, 50, dtype=np.float32)
+    f = fresnel_conductor_exact(np, c, eta, k)
+    assert np.all((f >= 0) & (f <= 1))
+
+
+def test_ior_database_full_vocabulary():
+    """All 245 reference material names resolve (ior.go:10-)."""
+    from polaris_tpu.asset.material.ior import KNOWN_IORS, lookup_ior
+
+    assert len(KNOWN_IORS) == 245
+    assert lookup_ior("Glass") == np.float32(1.51714)
+    assert lookup_ior("air") == np.float32(1.0002926)
+    assert lookup_ior("DIAMOND") == np.float32(2.417)
+    for name, v in KNOWN_IORS.items():
+        got = lookup_ior(name.lower())
+        # metals' real part can be <1; silicon tops the list at 4.24
+        assert got is not None and 0.04 <= got <= 4.3, name
