@@ -36,6 +36,29 @@ from .shade import shade, shade_miss, tonemap_reinhard
 _log = get_logger("tpu renderer")
 
 
+def _cumsum_tiled(a):
+    """Inclusive prefix sum via a two-level (row, carry) decomposition.
+
+    A FLAT jnp.cumsum over ~262k elements inside a loop wedges the TPU
+    compiler for minutes (isolated: 25 flat cumsums in a fori_loop never
+    finish compiling; the same program with this tiled form compiles in
+    ~2 s). Rows scan vectorized along lanes; the 512-element carry scan is
+    tiny.
+    """
+    n = a.shape[0]
+    r = 512
+    while r > 1 and n % r:
+        r //= 2
+    if r <= 1:
+        return jnp.cumsum(a)
+    m = a.reshape(r, n // r)
+    row = jnp.cumsum(m, axis=1)
+    carry = jnp.concatenate(
+        [jnp.zeros((1,), a.dtype), jnp.cumsum(row[:, -1])[:-1]]
+    )
+    return (row + carry[:, None]).reshape(-1)
+
+
 def _compact_pos(mask):
     """Stable partition target slots: masked lanes first, others after.
 
@@ -46,9 +69,9 @@ def _compact_pos(mask):
     pt_integrator.cl:49-64).
     """
     a = mask.astype(jnp.int32)
-    live_pos = jnp.cumsum(a) - 1
+    live_pos = _cumsum_tiled(a) - 1
     n_live = jnp.sum(a)
-    dead_pos = n_live + jnp.cumsum(1 - a) - 1
+    dead_pos = n_live + _cumsum_tiled(1 - a) - 1
     return jnp.where(mask, live_pos, dead_pos)
 
 
