@@ -205,6 +205,13 @@ class SceneData:
             if not isinstance(v, np.ndarray):
                 continue
             (params if f.name in PARAM_FIELDS else geom)[f.name] = v
+        # jit-static specialization sidecar (zero-leaf pytree node): lets the
+        # shading code drop texture/BxDF/operator branches the scene cannot
+        # reach (ops/statics.py). Consumers converting values to device
+        # arrays must skip keys starting with "_".
+        from ..ops.statics import scene_statics
+
+        geom["_stx"] = scene_statics(self)
         return geom, params
 
 

@@ -52,8 +52,11 @@ MATERIAL_FIELDS = (
 
 
 def gather_material(xp, S, node_idx):
-    """Gather per-lane material leaf fields from the SoA node arrays."""
-    return {f: S["mat_" + f][node_idx] for f in MATERIAL_FIELDS}
+    """Gather per-lane material leaf fields from the SoA node arrays.
+
+    Material tables are almost always tiny, so the lookup is a where-select
+    chain instead of a TPU gather (vec.take_small)."""
+    return {f: V.take_small(xp, S["mat_" + f], node_idx) for f in MATERIAL_FIELDS}
 
 
 def apply_normal_map(xp, S, normal, uv, tex_idx):
@@ -111,6 +114,14 @@ def select_material(xp, S, U, root_idx, normal, uv, flags, max_depth=MAX_MATERIA
     (material_sampler.cl:91-96: selected IOR = max(node IOR, forced IOR)).
     """
     from .rng import STREAM_DISPERSE, STREAM_MAT_MIX
+    from .statics import has_op
+
+    # operator kinds the host proved absent never fire their where-selects,
+    # so their (gather/texture-heavy) machinery is dropped at trace time
+    MIXMAP = has_op(S, "mixmap")
+    BUMP = has_op(S, "bump")
+    NORMAL = has_op(S, "normal")
+    DISPERSE = has_op(S, "disperse")
 
     node = root_idx
     tint = xp.ones(normal.shape, normal.dtype)
@@ -118,66 +129,76 @@ def select_material(xp, S, U, root_idx, normal, uv, flags, max_depth=MAX_MATERIA
     force_ext = xp.zeros(node.shape, normal.dtype)
 
     for level in range(max_depth):
-        t = S["mat_type"][node]
-        left = S["mat_left"][node]
-        right = S["mat_right"][node]
+        t = V.take_small(xp, S["mat_type"], node)
+        left = V.take_small(xp, S["mat_left"], node)
+        right = V.take_small(xp, S["mat_right"], node)
         is_op = t >= OP_MIX
         u = U(STREAM_MAT_MIX + level)
 
         # MIX / MIX_MAP: binary choice
-        mix_w = xp.where(
-            t == OP_MIX_MAP,
-            tex_sample1(xp, S, uv, S["mat_bump_tex"][node]),
-            S["mat_mix_weight"][node],
-        )
+        mix_w = V.take_small(xp, S["mat_mix_weight"], node)
+        if MIXMAP:
+            mix_w = xp.where(
+                t == OP_MIX_MAP,
+                tex_sample1(xp, S, uv, V.take_small(xp, S["mat_bump_tex"], node)),
+                mix_w,
+            )
         choose_left = u < mix_w
         mix_next = xp.where(choose_left, left, right)
 
         # BUMP/NORMAL map: perturb normal, continue left
-        bump_tex = S["mat_bump_tex"][node]
-        bumped = apply_bump_map(xp, S, normal, uv, bump_tex)
-        normal_mapped = apply_normal_map(xp, S, normal, uv, bump_tex)
-        normal = V.where3(xp, is_op & (t == OP_BUMP_MAP), bumped, normal)
-        normal = V.where3(xp, is_op & (t == OP_NORMAL_MAP), normal_mapped, normal)
+        if BUMP or NORMAL:
+            bump_tex = V.take_small(xp, S["mat_bump_tex"], node)
+        if BUMP:
+            bumped = apply_bump_map(xp, S, normal, uv, bump_tex)
+            normal = V.where3(xp, is_op & (t == OP_BUMP_MAP), bumped, normal)
+        if NORMAL:
+            normal_mapped = apply_normal_map(xp, S, normal, uv, bump_tex)
+            normal = V.where3(
+                xp, is_op & (t == OP_NORMAL_MAP), normal_mapped, normal
+            )
 
         # DISPERSE: channel via flags or fresh draw
         # (material_sampler.cl:46-82)
-        du = U(STREAM_DISPERSE + level)
-        has_r = (flags & PATH_FLAG_DISPERSE_R) != 0
-        has_g = (flags & PATH_FLAG_DISPERSE_G) != 0
-        has_b = (flags & PATH_FLAG_DISPERSE_B) != 0
-        has_any = has_r | has_g | has_b
-        new_r = (~has_any) & (du < 0.333)
-        new_g = (~has_any) & (~new_r) & (du < 0.666)
-        new_b = (~has_any) & (~new_r) & (~new_g)
-        sel_r = has_r | new_r
-        sel_g = has_g | new_g
-        sel_b = (~sel_r) & (~sel_g) & (has_b | new_b)
-        channel = xp.where(sel_r, 0, xp.where(sel_g, 1, 2))
-        is_disp = is_op & (t == OP_DISPERSE)
-        disp_tint = xp.stack(
-            [
-                xp.where(sel_r, 1.0, 0.0),
-                xp.where(sel_g, 1.0, 0.0),
-                xp.where(sel_b, 1.0, 0.0),
-            ],
-            axis=-1,
-        ).astype(normal.dtype)
-        tint = V.where3(xp, is_disp, disp_tint, tint)
-        int_d = xp.take_along_axis(
-            S["mat_int_disp_ior"][node], channel[..., None], axis=-1
-        )[..., 0]
-        ext_d = xp.take_along_axis(
-            S["mat_ext_disp_ior"][node], channel[..., None], axis=-1
-        )[..., 0]
-        force_int = xp.where(is_disp, int_d, force_int)
-        force_ext = xp.where(is_disp, ext_d, force_ext)
-        new_flag_bits = xp.where(
-            new_r,
-            PATH_FLAG_DISPERSE_R,
-            xp.where(new_g, PATH_FLAG_DISPERSE_G, PATH_FLAG_DISPERSE_B),
-        ).astype(flags.dtype)
-        flags = xp.where(is_disp & (~has_any), flags | new_flag_bits, flags)
+        if DISPERSE:
+            du = U(STREAM_DISPERSE + level)
+            has_r = (flags & PATH_FLAG_DISPERSE_R) != 0
+            has_g = (flags & PATH_FLAG_DISPERSE_G) != 0
+            has_b = (flags & PATH_FLAG_DISPERSE_B) != 0
+            has_any = has_r | has_g | has_b
+            new_r = (~has_any) & (du < 0.333)
+            new_g = (~has_any) & (~new_r) & (du < 0.666)
+            new_b = (~has_any) & (~new_r) & (~new_g)
+            sel_r = has_r | new_r
+            sel_g = has_g | new_g
+            sel_b = (~sel_r) & (~sel_g) & (has_b | new_b)
+            is_disp = is_op & (t == OP_DISPERSE)
+            disp_tint = xp.stack(
+                [
+                    xp.where(sel_r, 1.0, 0.0),
+                    xp.where(sel_g, 1.0, 0.0),
+                    xp.where(sel_b, 1.0, 0.0),
+                ],
+                axis=-1,
+            ).astype(normal.dtype)
+            tint = V.where3(xp, is_disp, disp_tint, tint)
+            int_all = V.take_small(xp, S["mat_int_disp_ior"], node)
+            ext_all = V.take_small(xp, S["mat_ext_disp_ior"], node)
+            # channel select as a 3-way where (no per-lane gather)
+            int_d = xp.where(
+                sel_r, int_all[..., 0], xp.where(sel_g, int_all[..., 1], int_all[..., 2])
+            )
+            ext_d = xp.where(
+                sel_r, ext_all[..., 0], xp.where(sel_g, ext_all[..., 1], ext_all[..., 2])
+            )
+            force_int = xp.where(is_disp, int_d, force_int)
+            force_ext = xp.where(is_disp, ext_d, force_ext)
+            new_flag_bits = xp.where(
+                new_r,
+                PATH_FLAG_DISPERSE_R,
+                xp.where(new_g, PATH_FLAG_DISPERSE_G, PATH_FLAG_DISPERSE_B),
+            ).astype(flags.dtype)
+            flags = xp.where(is_disp & (~has_any), flags | new_flag_bits, flags)
 
         # advance
         next_node = xp.where(
@@ -189,6 +210,7 @@ def select_material(xp, S, U, root_idx, normal, uv, flags, max_depth=MAX_MATERIA
 
     mat = gather_material(xp, S, node)
     mat = dict(mat)
-    mat["int_ior"] = xp.maximum(mat["int_ior"], force_int)
-    mat["ext_ior"] = xp.maximum(mat["ext_ior"], force_ext)
+    if DISPERSE:
+        mat["int_ior"] = xp.maximum(mat["int_ior"], force_int)
+        mat["ext_ior"] = xp.maximum(mat["ext_ior"], force_ext)
     return mat, normal, tint, flags

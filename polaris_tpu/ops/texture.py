@@ -76,12 +76,28 @@ def tex_bump_sample3(xp, S, uv, tex_idx):
     return 0.5 + 0.5 * n
 
 
-def mat_sample3(xp, S, uv, default3, tex_idx):
-    """Texture-or-constant float3 (material_sampler.cl matGetSample3f)."""
+def mat_sample3(xp, S, uv, default3, tex_idx, field=None):
+    """Texture-or-constant float3 (material_sampler.cl matGetSample3f).
+
+    ``field`` names the material field so texture-free scenes can skip the
+    atlas gathers entirely (ops/statics.py); when the host proved no node of
+    this field has a texture, every ``tex_idx`` is -1 and the where() below
+    would select ``default3`` on all lanes anyway.
+    """
+    if field is not None:
+        from .statics import tex_on
+
+        if not tex_on(S, field):
+            return default3
     sampled = tex_sample3(xp, S, uv, tex_idx)
     return xp.where((tex_idx < 0)[..., None], default3, sampled)
 
 
-def mat_sample1(xp, S, uv, default1, tex_idx):
+def mat_sample1(xp, S, uv, default1, tex_idx, field=None):
+    if field is not None:
+        from .statics import tex_on
+
+        if not tex_on(S, field):
+            return default1
     sampled = tex_sample1(xp, S, uv, tex_idx)
     return xp.where(tex_idx < 0, default1, sampled)

@@ -37,6 +37,25 @@ def zeros_like_maybe(xp, x):
     return xp.zeros_like(x)
 
 
+def take_small(xp, table, idx, max_rows=32):
+    """``table[idx]`` that avoids per-lane gathers for small tables.
+
+    XLA lowers a per-lane gather to ~1 element/cycle on the TPU scalar
+    units; for a table with few rows an unrolled where-select chain is pure
+    fused VPU work — exact (each lane still receives precisely its row, so
+    values AND gradients are identical) and ~10x cheaper at 512^2. Falls
+    back to plain indexing for big tables and for the NumPy oracle.
+    """
+    rows = int(table.shape[0])
+    if xp.__name__ != "jax.numpy" or rows > max_rows or rows == 0:
+        return table[idx]
+    expand = (...,) + (None,) * (table.ndim - 1)
+    out = xp.broadcast_to(table[0], idx.shape + table.shape[1:])
+    for m in range(1, rows):
+        out = xp.where((idx == m)[expand], table[m], out)
+    return out
+
+
 def dot3(xp, a, b):
     return xp.sum(a * b, axis=-1)
 

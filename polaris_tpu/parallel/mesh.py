@@ -57,7 +57,9 @@ class DistributedRenderer:
         self.scene = scene
         self.mesh = mesh
         geom, params = scene.split_params()
-        self.geom = {k: jnp.asarray(v) for k, v in geom.items()}
+        self.geom = {
+            k: v if k.startswith("_") else jnp.asarray(v) for k, v in geom.items()
+        }
         self.params = {k: jnp.asarray(v) for k, v in params.items()}
         self.closest, self.any_hit = make_intersectors(None, scene, mode)
         self.num_emissives = int(scene.emis_area.shape[0])

@@ -296,7 +296,9 @@ class TpuRenderer:
         self.scene = scene
         self.compact = compact
         geom, params = scene.split_params()
-        self.geom = {k: jnp.asarray(v) for k, v in geom.items()}
+        self.geom = {
+            k: v if k.startswith("_") else jnp.asarray(v) for k, v in geom.items()
+        }
         self.params = {k: jnp.asarray(v) for k, v in params.items()}
         self.closest, self.any_hit = make_intersectors(None, scene, mode)
         self.closest_bounce = getattr(self.closest, "closest_bounce", None)

@@ -89,7 +89,7 @@ def shade(
         + bary_v[..., None] * tn[..., 2, :]
     )
     # normals transform by w2o^T (inverse-transpose of object->world)
-    w2o = S["inst_w2o"][inst]
+    w2o = V.take_small(xp, S["inst_w2o"], inst)
     normal = V.normalize3(xp, V.transform_normal(xp, w2o, n_obj))
     tuv = S["tri_uvs"][tri]
     uv = (
@@ -112,7 +112,7 @@ def shade(
 
     # --- emissive hit: throughput * scale * radiance if front-facing,
     #     then kill the path (pt_integrator.cl:103-107) ---
-    ke = mat_sample3(xp, S, uv, mat["radiance"], mat["radiance_tex"])
+    ke = mat_sample3(xp, S, uv, mat["radiance"], mat["radiance_tex"], "radiance")
     emit_mask = hit_mask & is_emissive & (i_dot_n > 0.0)
     emit_add = xp.where(
         emit_mask[..., None],
@@ -217,11 +217,22 @@ def shade_miss(xp, S, ray_d, throughput, is_primary, scene_diffuse_mat: int):
     multiply by the path throughput (pt_integrator.cl:214-275).
     ``is_primary`` may be a traced boolean (scan over bounces).
     """
-    idx = xp.full(ray_d.shape[:-1], scene_diffuse_mat, dtype="int32")
-    uv = V.ray_to_latlong_uv(xp, ray_d)
-    kd = mat_sample3(
-        xp, S, uv, S["mat_reflectance"][idx], S["mat_reflectance_tex"][idx]
-    )
+    from ..ops.statics import bg_has_tex
+
+    # the background material index is static: fetch its row once (no
+    # per-lane gather) and let broadcasting lift it to [N,3]
+    row = S["mat_reflectance"][scene_diffuse_mat]
+    if bg_has_tex(S):
+        uv = V.ray_to_latlong_uv(xp, ray_d)
+        tex_idx = xp.full(
+            ray_d.shape[:-1],
+            S["mat_reflectance_tex"][scene_diffuse_mat],
+            dtype="int32",
+        )
+        kd = mat_sample3(xp, S, uv, row, tex_idx)
+    else:
+        # constant background color: skip the lat-long uv + atlas gathers
+        kd = xp.broadcast_to(row, ray_d.shape[:-1] + (3,))
     if isinstance(is_primary, bool):
         return kd if is_primary else throughput * kd
     return xp.where(is_primary, kd, throughput * kd)

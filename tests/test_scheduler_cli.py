@@ -55,10 +55,14 @@ def test_blocks_walking_y():
 
 def _run_cli(args, cwd):
     env = dict(os.environ)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env.update(
         JAX_PLATFORMS="cpu",
         JAX_PLATFORM_NAME="cpu",
         XLA_FLAGS="--xla_force_host_platform_device_count=1",
+        # the subprocess runs from a tmp cwd; make the in-tree package
+        # importable without requiring an installed wheel
+        PYTHONPATH=repo + os.pathsep + env.get("PYTHONPATH", ""),
     )
     return subprocess.run(
         [sys.executable, "-m", "polaris_tpu.cli", *args],
