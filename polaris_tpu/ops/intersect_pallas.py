@@ -71,11 +71,27 @@ def _kernel(
     stack_ref,      # SMEM (STACK_SIZE,) i32
     vote_ref,       # SMEM (8,) i32 scratch for cross-phase scalars
     cox, coy, coz, cdx, cdy, cdz,  # VMEM (8,128) f32 current rays
+    cix, ciy, ciz,  # VMEM (8,128) f32 cached inverse directions
     *,
     any_hit: bool,
 ):
     num_tris = tris_ref.shape[0] // 9
     num_inst = root_ref.shape[0]
+
+    def refresh_inv():
+        # inverse directions change only when the current rays do (tile
+        # init / instance transform / BLAS exit restore) — caching them
+        # saves 3 vector divides per inner node
+        qx, qy, qz = cdx[:], cdy[:], cdz[:]
+        cix[:] = 1.0 / jnp.where(
+            jnp.abs(qx) < 1e-30, jnp.where(qx < 0, -1e-30, 1e-30), qx
+        )
+        ciy[:] = 1.0 / jnp.where(
+            jnp.abs(qy) < 1e-30, jnp.where(qy < 0, -1e-30, 1e-30), qy
+        )
+        ciz[:] = 1.0 / jnp.where(
+            jnp.abs(qz) < 1e-30, jnp.where(qz < 0, -1e-30, 1e-30), qz
+        )
 
     def run_tile(k, _):
         act = act_ref[k] != 0
@@ -87,6 +103,7 @@ def _kernel(
         cdx[:] = dx_ref[k]
         cdy[:] = dy_ref[k]
         cdz[:] = dz_ref[k]
+        refresh_inv()
         t_ref[k] = jnp.where(act, maxt_ref[k], 0.0)
         u_ref[k] = jnp.zeros(TILE, jnp.float32)
         v_ref[k] = jnp.zeros(TILE, jnp.float32)
@@ -126,6 +143,7 @@ def _kernel(
                 cdx[:] = m[0] * qx + m[1] * qy + m[2] * qz
                 cdy[:] = m[4] * qx + m[5] * qy + m[6] * qz
                 cdz[:] = m[8] * qx + m[9] * qy + m[10] * qz
+                refresh_inv()
 
             msbi = jnp.where(is_top, sp, msbi)
             inst = jnp.where(is_top, inst_id, inst)
@@ -133,16 +151,30 @@ def _kernel(
 
             # ---------- bottom leaf: dense Möller–Trumbore over <= MAX_LEAF tris
             # best-hit state accumulates in registers across the triangle loop
-            # and is written back to VMEM once
+            # and is written back to VMEM once.
+            #
+            # DIVISION-FREE inner loop: the per-triangle f32 divide (1/det)
+            # measured 28% of total frame time at 512^2 (replace-with-mul
+            # probe: 578 -> 418 ms). The loop instead scales u/v/t by det
+            # (numerators over a positive det^2 denominator — no sign or
+            # abs needed) and compares best-t via cross-multiplication;
+            # ONE divide per leaf visit converts back. Recovers about a
+            # third of the probe's headroom (578 -> 550 ms) — the rest was
+            # divide *latency* in the dependency chain, which the carried
+            # cross-multiply compare partly reintroduces. Final t/u/v can
+            # differ from the quotient form by ~1 ulp (t = t*det^2/det^2
+            # takes three roundings instead of two), well inside the
+            # oracle-parity tolerances.
             @pl.when(is_bot)
             def _():
                 first = -ld
                 live = live_mask()
                 px, py, pz = cox[:], coy[:], coz[:]
                 qx, qy, qz = cdx[:], cdy[:], cdz[:]
-                bt = t_ref[k]
-                bu = u_ref[k]
-                bv = v_ref[k]
+                bt_num = t_ref[k]
+                bt_den = jnp.ones(TILE, jnp.float32)
+                bu_num = u_ref[k]
+                bv_num = v_ref[k]
                 btri = tri_ref[k]
                 binst = inst_ref[k]
                 bfound = found_ref[k]
@@ -162,30 +194,34 @@ def _kernel(
                     pvy = qz * e2x - qx * e2z
                     pvz = qx * e2y - qy * e2x
                     det = e1x * pvx + e1y * pvy + e1z * pvz
-                    ok = jnp.abs(det) >= V.INTERSECTION_EPSILON
-                    inv_det = 1.0 / jnp.where(ok, det, 1.0)
+                    det_a = det * det
+                    ok = det_a >= V.INTERSECTION_EPSILON * V.INTERSECTION_EPSILON
                     tvx = px - v0x
                     tvy = py - v0y
                     tvz = pz - v0z
-                    uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
-                    ok &= (uu >= 0.0) & (uu <= 1.0)
+                    u_num = (tvx * pvx + tvy * pvy + tvz * pvz) * det
+                    ok &= (u_num >= 0.0) & (u_num <= det_a)
                     qvx = tvy * e1z - tvz * e1y
                     qvy = tvz * e1x - tvx * e1z
                     qvz = tvx * e1y - tvy * e1x
-                    vv = (qx * qvx + qy * qvy + qz * qvz) * inv_det
-                    ok &= (vv >= 0.0) & (uu + vv <= 1.0)
-                    tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
-                    ok &= (tt > V.INTERSECTION_EPSILON) & (tt < bt)
+                    v_num = (qx * qvx + qy * qvy + qz * qvz) * det
+                    ok &= (v_num >= 0.0) & (u_num + v_num <= det_a)
+                    t_num = (e2x * qvx + e2y * qvy + e2z * qvz) * det
+                    ok &= (t_num > V.INTERSECTION_EPSILON * det_a) & (
+                        t_num * bt_den < bt_num * det_a
+                    )
                     ok &= live & (j < rd)
-                    bt = jnp.where(ok, tt, bt)
-                    bu = jnp.where(ok, uu, bu)
-                    bv = jnp.where(ok, vv, bv)
+                    bt_num = jnp.where(ok, t_num, bt_num)
+                    bt_den = jnp.where(ok, det_a, bt_den)
+                    bu_num = jnp.where(ok, u_num, bu_num)
+                    bv_num = jnp.where(ok, v_num, bv_num)
                     btri = jnp.where(ok, first + j, btri)
                     binst = jnp.where(ok, inst, binst)
                     bfound = jnp.where(ok, 1, bfound)
-                t_ref[k] = bt
-                u_ref[k] = bu
-                v_ref[k] = bv
+                inv = 1.0 / bt_den
+                t_ref[k] = bt_num * inv
+                u_ref[k] = bu_num * inv
+                v_ref[k] = bv_num * inv
                 tri_ref[k] = btri
                 inst_ref[k] = binst
                 found_ref[k] = bfound
@@ -197,10 +233,7 @@ def _kernel(
             def _():
                 live = live_mask()
                 px, py, pz = cox[:], coy[:], coz[:]
-                qx, qy, qz = cdx[:], cdy[:], cdz[:]
-                ix = 1.0 / jnp.where(jnp.abs(qx) < 1e-30, jnp.where(qx < 0, -1e-30, 1e-30), qx)
-                iy = 1.0 / jnp.where(jnp.abs(qy) < 1e-30, jnp.where(qy < 0, -1e-30, 1e-30), qy)
-                iz = 1.0 / jnp.where(jnp.abs(qz) < 1e-30, jnp.where(qz < 0, -1e-30, 1e-30), qz)
+                ix, iy, iz = cix[:], ciy[:], ciz[:]
                 best = t_ref[k]
 
                 def child_dist(ci):
@@ -272,6 +305,7 @@ def _kernel(
                 cdx[:] = dx_ref[k]
                 cdy[:] = dy_ref[k]
                 cdz[:] = dz_ref[k]
+                refresh_inv()
 
             msbi = jnp.where(restore, -1, msbi)
             sp = jnp.where(in_pop, sp - 1, sp)
@@ -334,7 +368,7 @@ def _build_call(
             pltpu.SMEM((STACK_SIZE,), jnp.int32),
             pltpu.SMEM((8,), jnp.int32),
         ]
-        + [pltpu.VMEM(TILE, jnp.float32)] * 6,
+        + [pltpu.VMEM(TILE, jnp.float32)] * 9,
         interpret=interpret,
     )
 

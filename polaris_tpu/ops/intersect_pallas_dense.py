@@ -52,6 +52,7 @@ def _kernel(
     def run_tile(k, _):
         act = act_ref[k] != 0
         bt = jnp.where(act, maxt_ref[k], 0.0)
+        bt_den = jnp.ones(TILE, jnp.float32)
         bu = jnp.zeros(TILE, jnp.float32)
         bv = jnp.zeros(TILE, jnp.float32)
         btri = jnp.zeros(TILE, jnp.int32)
@@ -72,8 +73,11 @@ def _kernel(
             qy = m[4] * wdx + m[5] * wdy + m[6] * wdz
             qz = m[8] * wdx + m[9] * wdy + m[10] * wdz
 
+            # division-free MT (see intersect_pallas.py): u/v/t scaled by
+            # det over a det^2 denominator, cross-multiplied best-t compare,
+            # one divide per tile at the end
             def tri_body(j, carry):
-                bt, bu, bv, btri, binst, bfound = carry
+                bt_num, bt_den, bu_num, bv_num, btri, binst, bfound = carry
                 base = j * 9
                 v0x = tris_ref[base + 0]
                 v0y = tris_ref[base + 1]
@@ -88,39 +92,44 @@ def _kernel(
                 pvy = qz * e2x - qx * e2z
                 pvz = qx * e2y - qy * e2x
                 det = e1x * pvx + e1y * pvy + e1z * pvz
-                ok = jnp.abs(det) >= V.INTERSECTION_EPSILON
-                inv_det = 1.0 / jnp.where(ok, det, 1.0)
+                det_a = det * det
+                ok = det_a >= V.INTERSECTION_EPSILON * V.INTERSECTION_EPSILON
                 tvx = px - v0x
                 tvy = py - v0y
                 tvz = pz - v0z
-                uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
-                ok &= (uu >= 0.0) & (uu <= 1.0)
+                u_num = (tvx * pvx + tvy * pvy + tvz * pvz) * det
+                ok &= (u_num >= 0.0) & (u_num <= det_a)
                 qvx = tvy * e1z - tvz * e1y
                 qvy = tvz * e1x - tvx * e1z
                 qvz = tvx * e1y - tvy * e1x
-                vv = (qx * qvx + qy * qvy + qz * qvz) * inv_det
-                ok &= (vv >= 0.0) & (uu + vv <= 1.0)
-                tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
-                ok &= (tt > V.INTERSECTION_EPSILON) & (tt < bt)
+                v_num = (qx * qvx + qy * qvy + qz * qvz) * det
+                ok &= (v_num >= 0.0) & (u_num + v_num <= det_a)
+                t_num = (e2x * qvx + e2y * qvy + e2z * qvz) * det
+                ok &= (t_num > V.INTERSECTION_EPSILON * det_a) & (
+                    t_num * bt_den < bt_num * det_a
+                )
                 if any_hit:
                     ok &= act & (bfound == 0)
                 else:
                     ok &= act
-                bt = jnp.where(ok, tt, bt)
-                bu = jnp.where(ok, uu, bu)
-                bv = jnp.where(ok, vv, bv)
+                bt_num = jnp.where(ok, t_num, bt_num)
+                bt_den = jnp.where(ok, det_a, bt_den)
+                bu_num = jnp.where(ok, u_num, bu_num)
+                bv_num = jnp.where(ok, v_num, bv_num)
                 btri = jnp.where(ok, j, btri)
                 binst = jnp.where(ok, ii, binst)
                 bfound = jnp.where(ok, 1, bfound)
-                return bt, bu, bv, btri, binst, bfound
+                return bt_num, bt_den, bu_num, bv_num, btri, binst, bfound
 
-            bt, bu, bv, btri, binst, bfound = jax.lax.fori_loop(
-                first, first + count, tri_body, (bt, bu, bv, btri, binst, bfound)
+            bt, bt_den, bu, bv, btri, binst, bfound = jax.lax.fori_loop(
+                first, first + count, tri_body,
+                (bt, bt_den, bu, bv, btri, binst, bfound),
             )
 
-        t_ref[k] = bt
-        u_ref[k] = bu
-        v_ref[k] = bv
+        inv = 1.0 / bt_den
+        t_ref[k] = bt * inv
+        u_ref[k] = bu * inv
+        v_ref[k] = bv * inv
         tri_ref[k] = btri
         inst_ref[k] = binst
         found_ref[k] = bfound

@@ -27,7 +27,7 @@ from ..asset.camera import Camera
 from ..asset.scene_data import SceneData
 from ..ops import rng
 from ..ops import vec as V
-from ..ops.intersect import make_intersectors
+from ..ops.intersect import Hit, make_intersectors
 from ..utils.log import Timer, get_logger
 from .options import RenderOptions
 from .raygen import gen_rays
@@ -86,6 +86,77 @@ def _scatter_to(pos, x):
     return jnp.zeros_like(x).at[pos].set(x)
 
 
+def _part1by2(x):
+    """Spread the low 10 bits of x across every 3rd bit (Morton helper)."""
+    x = x & 0x3FF
+    x = (x | (x << 16)) & 0x30000FF
+    x = (x | (x << 8)) & 0x300F00F
+    x = (x | (x << 4)) & 0x30C30C3
+    x = (x | (x << 2)) & 0x9249249
+    return x
+
+
+def _octant_key(d, mask):
+    """Bucket id per lane: direction octant (0..7), dead lanes last (8)."""
+    octant = (
+        (d[..., 0] < 0).astype(jnp.int32)
+        | ((d[..., 1] < 0).astype(jnp.int32) << 1)
+        | ((d[..., 2] < 0).astype(jnp.int32) << 2)
+    )
+    return jnp.where(mask, octant, jnp.int32(8))
+
+
+def _bucket_positions(key, num_buckets: int):
+    """Stable counting-sort target slots via tiled prefix sums.
+
+    jax.lax.sort costs ~16 ms at 512^2 on TPU (bitonic); nine tiled cumsums
+    are far cheaper (CLAUDE.md: tiled prefix sums compile fast and run ~free).
+    Stability preserves the blocked lane order inside each bucket, which is
+    what keeps ray-origin coherence intact.
+    """
+    pos = jnp.zeros(key.shape, jnp.int32)
+    offset = jnp.int32(0)
+    for b in range(num_buckets):
+        m = key == b
+        c = _cumsum_tiled(m.astype(jnp.int32))
+        pos = jnp.where(m, offset + c - 1, pos)
+        offset = offset + c[-1]
+    return pos
+
+
+def make_sorted_pass():
+    """Wrap an intersector so each call traverses rays grouped by direction
+    octant, dead lanes packed last.
+
+    Bounce-ray *origins* are already block-coherent (they sit where a
+    coherent primary block hit); the packet kernel's remaining cost driver
+    is direction divergence within a tile (docs/perf.md). A stable octant
+    partition groups rays that descend the BVH the same way while keeping
+    same-block rays adjacent, and dead-lanes-last turns the kernel's
+    all-dead tile skip into free compaction WITHOUT destroying spatial
+    coherence (plain cumsum compaction measured 0.61x for exactly that
+    reason). Hits are scattered back to lane order; images are
+    bit-identical because the RNG keys by pixel id, not lane order.
+    """
+
+    def wrap(fn, any_hit: bool):
+        def run(S, o, d, maxt, mask):
+            key = _octant_key(d, mask)
+            pos = _bucket_positions(key, 9)
+            perm = _inv_perm(pos)  # slot -> lane
+            res = fn(S, o[perm], d[perm], maxt[perm], mask[perm])
+            if any_hit:
+                return res[pos]
+            return Hit(
+                res.t[pos], res.inst[pos], res.tri[pos],
+                res.u[pos], res.v[pos], res.mask[pos],
+            )
+
+        return run
+
+    return wrap
+
+
 def blocked_pixel_order(width: int, height: int, block: int = 32):
     """Host-side lane->pixel mapping in block x block screen tiles.
 
@@ -141,6 +212,7 @@ def render_sample_block(
     material_depth: int = None,
     closest_bounce=None,
     compact: bool = False,
+    unroll: bool = False,
 ):
     """Trace ONE sample for a block of pixels; returns radiance [N, 3].
 
@@ -257,10 +329,11 @@ def render_sample_block(
     # can use the BVH kernel while bounce rays use the dense kernel.
     lane_ids = jnp.arange(n, dtype=jnp.int32)
     carry = (ray_o, ray_d, throughput, flags, alive, radiance, pixel_idx, lane_ids)
-    if compact:
-        # unrolled bounce loop: XLA hangs compiling 262k-row gathers inside
-        # lax.scan but handles them at the top level (CLAUDE.md quirks)
-        body = make_bounce_body(closest)
+    if compact or unroll:
+        # unrolled bounce loop: XLA mishandles 262k-row gathers inside
+        # lax.scan (compile hangs / 4x runtime regressions) but is fine with
+        # them at the top level (CLAUDE.md quirks). Sorted-traversal mode
+        # permutes rays per bounce, so it needs the unroll too.
         for b in range(num_bounces):
             bb = closest_bounce if (closest_bounce is not None and b > 0) else closest
             carry, _ = make_bounce_body(bb)(carry, jnp.uint32(b))
@@ -292,9 +365,18 @@ class TpuRenderer:
     'pallas' once available).
     """
 
-    def __init__(self, scene: SceneData, mode: str = "auto", compact: bool = False):
+    def __init__(
+        self,
+        scene: SceneData,
+        mode: str = "auto",
+        compact: bool = False,
+        sort_rays: bool = False,
+        batch_samples: bool = False,
+    ):
         self.scene = scene
         self.compact = compact
+        self.sort_rays = sort_rays
+        self.batch_samples = batch_samples
         geom, params = scene.split_params()
         self.geom = {
             k: v if k.startswith("_") else jnp.asarray(v) for k, v in geom.items()
@@ -302,6 +384,13 @@ class TpuRenderer:
         self.params = {k: jnp.asarray(v) for k, v in params.items()}
         self.closest, self.any_hit = make_intersectors(None, scene, mode)
         self.closest_bounce = getattr(self.closest, "closest_bounce", None)
+        if sort_rays:
+            # coherence-sort every traversal pass (see make_sorted_pass)
+            wrap = make_sorted_pass()
+            self.closest = wrap(self.closest, any_hit=False)
+            self.any_hit = wrap(self.any_hit, any_hit=True)
+            if self.closest_bounce is not None:
+                self.closest_bounce = wrap(self.closest_bounce, any_hit=False)
         self.num_emissives = int(scene.emis_area.shape[0])
         self.scene_diffuse_mat = int(scene.scene_diffuse_mat)
         from ..ops.material import material_tree_depth
@@ -326,6 +415,57 @@ class TpuRenderer:
         # packet-kernel node unions for primary, bounce and shadow passes
         h_xs, h_ys, h_pix, h_inv = blocked_pixel_order(W, H)
         blocked = not np.array_equal(h_pix, np.arange(n, dtype=np.uint32))
+
+        if self.batch_samples and opt.spp > 1:
+            # sample-batched wavefront: all spp samples of a launch ride as
+            # one wide lane batch (B*n lanes, sample-major so tiles stay
+            # within one sample's screen block). Measured NEUTRAL on sphere
+            # 512^2 (40.5 vs 41.8 Mrays/s) — per-pass launch overhead is
+            # negligible in the compiled loop, so amortizing it buys nothing
+            # and the 8x-larger live set costs a little. Kept as a mode for
+            # low-spp progressive passes. Partials are reduced in sample
+            # order, keeping the image bit-identical to the sequential loop.
+            B = opt.spp
+            b_xs = np.tile(h_xs, B)
+            b_ys = np.tile(h_ys, B)
+            b_pix = np.tile(h_pix, B)
+            b_sample = np.repeat(np.arange(B, dtype=np.int32), n)
+
+            def render_fn(geom, params, frustum, eye, seed, sample_offset):
+                S = {**geom, **params}
+                rad = render_sample_block(
+                    S,
+                    self.closest,
+                    self.any_hit,
+                    frustum=frustum,
+                    eye=eye,
+                    width=W,
+                    height=H,
+                    pixel_x=jnp.asarray(b_xs),
+                    pixel_y=jnp.asarray(b_ys),
+                    pixel_idx=jnp.asarray(b_pix),
+                    sample_idx=sample_offset + jnp.asarray(b_sample),
+                    seed=seed,
+                    num_bounces=opt.num_bounces,
+                    min_bounces_for_rr=opt.min_bounces_for_rr,
+                    num_emissives=self.num_emissives,
+                    scene_diffuse_mat=self.scene_diffuse_mat,
+                    material_depth=self.material_depth,
+                    closest_bounce=self.closest_bounce,
+                    compact=self.compact,
+                    unroll=self.sort_rays,
+                )
+                parts = rad.reshape(B, n, 3)
+                accum = parts[0]
+                for s in range(1, B):  # sequential adds = fori_loop order
+                    accum = accum + parts[s]
+                if blocked:
+                    accum = accum[jnp.asarray(h_inv)]
+                return accum.reshape(H, W, 3)
+
+            fn = jax.jit(render_fn)
+            self._jit_cache[key] = fn
+            return fn
 
         def render_fn(geom, params, frustum, eye, seed, sample_offset):
             S = {**geom, **params}
@@ -354,6 +494,7 @@ class TpuRenderer:
                     material_depth=self.material_depth,
                     closest_bounce=self.closest_bounce,
                     compact=self.compact,
+                    unroll=self.sort_rays,
                 )
                 return accum + rad
 
