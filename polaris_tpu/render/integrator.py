@@ -567,3 +567,23 @@ class TpuRenderer:
         accum = self.render_accum(opt, camera)
         img = tonemap_reinhard(jnp, accum, 1.0 / opt.spp, opt.exposure)
         return np.asarray(img)
+
+    @staticmethod
+    @jax.jit
+    def tonemap_u8(accum, sample_weight, exposure):
+        """Device-side LDR conversion to uint8.
+
+        Fetching the u8 image moves 0.75 MB over the (20 ms/MB) tunnel
+        instead of the 3 MB f32 accumulator — the difference matters for
+        the per-pass fetch of the progressive viewer."""
+        img = tonemap_reinhard(jnp, accum, sample_weight, exposure)
+        return (jnp.clip(img, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+    def render_u8(self, opt: RenderOptions, camera: Optional[Camera] = None):
+        """Render and tonemap fully on device; returns [H, W, 3] uint8."""
+        accum = self.render_accum(opt, camera)
+        return np.asarray(
+            self.tonemap_u8(
+                accum, jnp.float32(1.0 / opt.spp), jnp.float32(opt.exposure)
+            )
+        )

@@ -19,14 +19,20 @@ import threading
 import time
 from typing import Optional
 
+import jax.numpy as jnp
 import numpy as np
 
 from ..asset.camera import Camera
 from ..asset.scene_data import SceneData
 from .integrator import TpuRenderer
 from .options import RenderOptions
-from .shade import tonemap_reinhard
 from ..utils.log import get_logger
+
+
+def _to_u8(img: np.ndarray) -> np.ndarray:
+    if img.dtype == np.uint8:
+        return img
+    return (np.clip(img, 0, 1) * 255).astype(np.uint8)
 
 _log = get_logger("progressive renderer")
 
@@ -37,7 +43,9 @@ class ProgressiveRenderer:
         self.opt = opt
         self.renderer = TpuRenderer(scene, mode=mode)
         self.camera = Camera.from_scene(scene, opt.width, opt.height)
-        self.accum = np.zeros((opt.height, opt.width, 3), np.float32)
+        # device-resident accumulator: per-pass traffic over the tunnel is
+        # the tonemapped u8 image (0.75 MB at 512^2), not the 3 MB f32 HDR
+        self.accum = jnp.zeros((opt.height, opt.width, 3), jnp.float32)
         self.accumulated_samples = 0
         self._pending_camera: Optional[Camera] = None
         self._lock = threading.Lock()
@@ -62,7 +70,7 @@ class ProgressiveRenderer:
             if self._pending_camera is not None:
                 self.camera = self._pending_camera
                 self._pending_camera = None
-                self.accum[:] = 0
+                self.accum = jnp.zeros_like(self.accum)
                 self.accumulated_samples = 0
 
     # --- rendering ---
@@ -81,15 +89,17 @@ class ProgressiveRenderer:
                 "seed": self.opt.seed,
             }
         )
-        accum = self.renderer.render_accum_offset(
+        part = self.renderer.render_accum_offset(
             opt, self.camera, sample_offset=self.accumulated_samples
         )
-        self.accum += np.asarray(accum)
+        self.accum = self.accum + part  # device add — no HDR fetch
         self.accumulated_samples += opt.spp
-        img = tonemap_reinhard(
-            np, self.accum, 1.0 / self.accumulated_samples, opt.exposure
+        img = TpuRenderer.tonemap_u8(
+            self.accum,
+            jnp.float32(1.0 / self.accumulated_samples),
+            jnp.float32(opt.exposure),
         )
-        return img
+        return np.asarray(img)
 
     def run(
         self,
@@ -117,19 +127,17 @@ class ProgressiveRenderer:
             ):
                 from PIL import Image
 
-                Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).save(out)
+                Image.fromarray(_to_u8(img)).save(out)
                 last_snap = self.accumulated_samples
         if server:
             server.shutdown()
         return img
 
-    def _publish(self, img01: np.ndarray) -> None:
+    def _publish(self, img: np.ndarray) -> None:
         from PIL import Image
 
         buf = io.BytesIO()
-        Image.fromarray((np.clip(img01, 0, 1) * 255).astype(np.uint8)).save(
-            buf, format="PNG"
-        )
+        Image.fromarray(_to_u8(img)).save(buf, format="PNG")
         self._latest_png = buf.getvalue()
 
 
