@@ -332,11 +332,34 @@ def make_intersectors(
         from .intersect_pallas import SMEM_SCENE_BUDGET, scene_smem_bytes
 
         on_tpu = any(d.platform != "cpu" for d in __import__("jax").devices())
-        mode = (
-            "pallas"
-            if on_tpu and scene_smem_bytes(scene) <= SMEM_SCENE_BUDGET
-            else "packet"
-        )
+        if not on_tpu:
+            mode = "packet"
+        elif scene_smem_bytes(scene) <= SMEM_SCENE_BUDGET:
+            mode = "pallas"
+        elif scene_smem_bytes(scene, stream_tris=True) <= SMEM_SCENE_BUDGET:
+            # BVH nodes fit on-chip; triangles stay in HBM and leaves are
+            # DMA'd on demand (big-scene path)
+            mode = "pallas_stream"
+        else:
+            mode = "packet"
+
+    if mode == "pallas_stream":
+        import jax.numpy as jnp
+
+        from .intersect_pallas import intersect_pallas, pack_scene
+
+        P = {
+            k: (v if k == "pk_stream" else jnp.asarray(v))
+            for k, v in pack_scene(scene, stream_tris=True).items()
+        }
+
+        def closest(S, o, d, maxt, active):
+            return intersect_pallas(P, o, d, maxt, active, any_hit=False)
+
+        def any_hit(S, o, d, maxt, active):
+            return intersect_pallas(P, o, d, maxt, active, any_hit=True).mask
+
+        return closest, any_hit
 
     if mode == "pallas_dense":
         import jax.numpy as jnp

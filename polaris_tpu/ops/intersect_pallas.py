@@ -53,6 +53,10 @@ PHASE_DONE = 2
 # SMEM is ~1 MiB/core; leave headroom for stack/vote scratch
 SMEM_SCENE_BUDGET = 700 * 1024
 
+# HBM slice granularity for streamed leaf DMAs (Mosaic tiles 1D f32 HBM
+# memrefs at 1024 elements; slice shapes must be aligned to it)
+STREAM_ALIGN = 1024
+
 
 def _kernel(
     # --- scalar (SMEM) scene inputs ---
@@ -60,7 +64,8 @@ def _kernel(
     rdata_ref,      # (N,) i32
     boxes_ref,      # (N*6,) f32: min xyz, max xyz — flat (2D SMEM arrays
                     # pad the last dim to 128 lanes and blow the 1MB budget)
-    tris_ref,       # (T*9,) f32: v0 xyz, e1 xyz, e2 xyz — flat
+    tris_ref,       # (T*9,) f32: v0 xyz, e1 xyz, e2 xyz — flat; SMEM, or
+                    # HBM when stream_tris (leaves DMA'd on demand)
     w2o_ref,        # (I*12,) f32: row-major 3x4 world->object — flat
     root_ref,       # (I,) i32 BLAS roots
     # --- per-tile (VMEM) ray inputs ---
@@ -72,8 +77,11 @@ def _kernel(
     vote_ref,       # SMEM (8,) i32 scratch for cross-phase scalars
     cox, coy, coz, cdx, cdy, cdz,  # VMEM (8,128) f32 current rays
     cix, ciy, ciz,  # VMEM (8,128) f32 cached inverse directions
+    tri_buf=None,   # [stream_tris] SMEM (MAX_LEAF*9,) f32 leaf staging
+    dma_sem=None,   # [stream_tris] DMA semaphore
     *,
     any_hit: bool,
+    stream_tris: bool = False,
 ):
     num_tris = tris_ref.shape[0] // 9
     num_inst = root_ref.shape[0]
@@ -169,6 +177,23 @@ def _kernel(
             def _():
                 first = -ld
                 live = live_mask()
+                if stream_tris:
+                    # leaf triangles live in HBM (scene too big for SMEM):
+                    # DMA the aligned 2048-float window covering the leaf
+                    # into the SMEM staging buffer (Mosaic requires HBM
+                    # slice shapes aligned to 1024 elements; the covering
+                    # window avoids repacking the triangle array). The
+                    # array is padded so the window never over-reads.
+                    off9 = first * 9
+                    blk = (off9 // STREAM_ALIGN) * STREAM_ALIGN
+                    local = off9 - blk
+                    dma = pltpu.make_async_copy(
+                        tris_ref.at[pl.ds(blk, 2 * STREAM_ALIGN)],
+                        tri_buf,
+                        dma_sem,
+                    )
+                    dma.start()
+                    dma.wait()
                 px, py, pz = cox[:], coy[:], coz[:]
                 qx, qy, qz = cdx[:], cdy[:], cdz[:]
                 bt_num = t_ref[k]
@@ -179,16 +204,20 @@ def _kernel(
                 binst = inst_ref[k]
                 bfound = found_ref[k]
                 for j in range(MAX_LEAF):
-                    idx = jnp.clip(first + j, 0, num_tris - 1)
-                    v0x = tris_ref[idx * 9 + 0]
-                    v0y = tris_ref[idx * 9 + 1]
-                    v0z = tris_ref[idx * 9 + 2]
-                    e1x = tris_ref[idx * 9 + 3]
-                    e1y = tris_ref[idx * 9 + 4]
-                    e1z = tris_ref[idx * 9 + 5]
-                    e2x = tris_ref[idx * 9 + 6]
-                    e2y = tris_ref[idx * 9 + 7]
-                    e2z = tris_ref[idx * 9 + 8]
+                    if stream_tris:
+                        src, base = tri_buf, local + j * 9
+                    else:
+                        src = tris_ref
+                        base = jnp.clip(first + j, 0, num_tris - 1) * 9
+                    v0x = src[base + 0]
+                    v0y = src[base + 1]
+                    v0z = src[base + 2]
+                    e1x = src[base + 3]
+                    e1y = src[base + 4]
+                    e1z = src[base + 5]
+                    e2x = src[base + 6]
+                    e2y = src[base + 7]
+                    e2z = src[base + 8]
                     # pvec = d x e2
                     pvx = qy * e2z - qz * e2y
                     pvy = qz * e2x - qx * e2z
@@ -334,25 +363,43 @@ def _kernel(
 
 @functools.lru_cache(maxsize=None)
 def _build_call(
-    num_nodes: int, num_tris: int, num_inst: int, grid: int, any_hit: bool
+    num_nodes: int,
+    num_tris: int,
+    num_inst: int,
+    grid: int,
+    any_hit: bool,
+    stream_tris: bool = False,
 ):
     # interpret mode lets the hermetic CPU test suite execute the kernel
     interpret = jax.default_backend() == "cpu"
-    kernel = functools.partial(_kernel, any_hit=any_hit)
+    kernel = functools.partial(
+        _kernel, any_hit=any_hit, stream_tris=stream_tris
+    )
     ray_spec = pl.BlockSpec(
         (None, BLOCK_TILES) + TILE, lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM
     )
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    # streaming mode leaves the triangle array off-chip; leaves are DMA'd
+    # into an SMEM staging buffer on demand (scenes beyond the SMEM budget)
+    tris_spec = pl.BlockSpec(memory_space=pltpu.ANY) if stream_tris else smem()
+    stream_scratch = (
+        [
+            pltpu.SMEM((2 * STREAM_ALIGN,), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ]
+        if stream_tris
+        else []
+    )
     return pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[
-            smem(),  # ldata
-            smem(),  # rdata
-            smem(),  # boxes
-            smem(),  # tris
-            smem(),  # w2o
-            smem(),  # roots
+            smem(),     # ldata
+            smem(),     # rdata
+            smem(),     # boxes
+            tris_spec,  # tris
+            smem(),     # w2o
+            smem(),     # roots
         ]
         + [ray_spec] * 8,
         out_specs=[ray_spec] * 6,
@@ -368,13 +415,18 @@ def _build_call(
             pltpu.SMEM((STACK_SIZE,), jnp.int32),
             pltpu.SMEM((8,), jnp.int32),
         ]
-        + [pltpu.VMEM(TILE, jnp.float32)] * 9,
+        + [pltpu.VMEM(TILE, jnp.float32)] * 9
+        + stream_scratch,
         interpret=interpret,
     )
 
 
-def pack_scene(scene) -> dict:
-    """Pack the compiled scene into the kernel's SMEM layout (host-side)."""
+def pack_scene(scene, stream_tris: bool = False) -> dict:
+    """Pack the compiled scene into the kernel's SMEM layout (host-side).
+
+    With ``stream_tris`` the triangle array stays in HBM, padded so the
+    kernel's fixed-size aligned DMA windows never over-read.
+    """
     boxes = (
         np.concatenate([scene.bvh_min, scene.bvh_max], axis=1)
         .astype(np.float32)
@@ -385,6 +437,9 @@ def pack_scene(scene) -> dict:
         .astype(np.float32)
         .reshape(-1)
     )
+    if stream_tris:
+        total = -(-tris.size // STREAM_ALIGN) * STREAM_ALIGN + 2 * STREAM_ALIGN
+        tris = np.pad(tris, (0, total - tris.size))
     w2o = scene.inst_w2o[:, :3, :].astype(np.float32).reshape(-1)
     return {
         "pk_ldata": scene.bvh_ldata.astype(np.int32),
@@ -393,14 +448,15 @@ def pack_scene(scene) -> dict:
         "pk_tris": tris,
         "pk_w2o": w2o,
         "pk_roots": scene.inst_bvh_root.astype(np.int32),
+        "pk_stream": stream_tris,
     }
 
 
-def scene_smem_bytes(scene) -> int:
+def scene_smem_bytes(scene, stream_tris: bool = False) -> int:
     return int(
         scene.bvh_ldata.nbytes * 2
         + scene.bvh_min.nbytes * 2
-        + scene.tri_v0.nbytes * 3
+        + (0 if stream_tris else scene.tri_v0.nbytes * 3)
         + scene.inst_w2o.nbytes
         + scene.inst_bvh_root.nbytes
     )
@@ -427,6 +483,7 @@ def intersect_pallas(P, o, d, maxt, active, *, any_hit: bool):
         int(P["pk_roots"].shape[0]),
         g,
         any_hit,
+        bool(P.get("pk_stream", False)),
     )
     t, u, v, tri, inst, found = call(
         P["pk_ldata"],

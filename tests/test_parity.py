@@ -71,6 +71,17 @@ def test_pallas_parity(cornell_scene):
     _compare(cornell_scene, opt, modes=("pallas", "pallas8"))
 
 
+def test_pallas_stream_matches_smem(cornell_scene):
+    """The HBM triangle-streaming kernel (big-scene path: leaves DMA'd into
+    SMEM on demand) must produce EXACTLY the in-SMEM kernel's image."""
+    opt = RenderOptions(width=32, height=32, spp=1, num_bounces=2, min_bounces_for_rr=3)
+    smem = np.asarray(TpuRenderer(cornell_scene, mode="pallas").render_accum(opt))
+    stream = np.asarray(
+        TpuRenderer(cornell_scene, mode="pallas_stream").render_accum(opt)
+    )
+    np.testing.assert_array_equal(stream, smem)
+
+
 def test_image_nonblack(cornell_scene):
     opt = RenderOptions(width=32, height=32, spp=1, num_bounces=3, min_bounces_for_rr=4)
     img = TpuRenderer(cornell_scene, mode="bvh").render(opt)
