@@ -37,15 +37,20 @@ def main():
         )
     scene = compile_scene(read_scene(obj))
     renderer = TpuRenderer(scene, mode="auto")
+    # one device launch for the whole frame (~1 s execution — well under the
+    # tunnel watchdog); the default chunking is tuned for bigger workloads
+    renderer.spp_per_launch = 16
     opt = RenderOptions(
         width=512, height=512, spp=16, num_bounces=5, min_bounces_for_rr=3,
     )
-    # warmup/compile
-    np.asarray(renderer.render_accum(opt))
+    # Timed flow matches the reference's frame delivery (SyncFramebuffer =
+    # tonemap + framebuffer readback, tracer.go:250-276): render, tonemap on
+    # device, fetch the u8 image.
+    renderer.render_u8(opt)  # warmup/compile
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        np.asarray(renderer.render_accum(opt))
+        renderer.render_u8(opt)
         best = min(best, time.perf_counter() - t0)
 
     rays = opt.width * opt.height * opt.spp * opt.num_bounces * 2
