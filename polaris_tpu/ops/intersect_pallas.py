@@ -45,6 +45,12 @@ STACK_SIZE = 64
 # must cover the compiler's largest leaf
 from ..asset.compiler.compiler import MIN_PRIMITIVES_PER_LEAF as MAX_LEAF  # noqa: E402
 
+# leaf Möller–Trumbore tier width: the unrolled triangle loop runs in
+# `pl.when(rd > c)`-gated tiers of this many triangles, so partially filled
+# leaves (SAH mean fill ~11/16 on sphere.obj) skip whole tiers of vector
+# work instead of masking it lane-wise
+LEAF_TIER = 4
+
 PHASE_NODE = 0
 PHASE_POP = 1
 PHASE_DONE = 2
@@ -62,6 +68,8 @@ def _kernel(
     # --- scalar (SMEM) scene inputs ---
     ldata_ref,      # (N,) i32
     rdata_ref,      # (N,) i32
+    order_ref,      # (N,) i32: inner-node static near-child hint,
+                    # axis*2 + (right child on + side) — see pack_scene
     boxes_ref,      # (N*6,) f32: min xyz, max xyz — flat (2D SMEM arrays
                     # pad the last dim to 128 lanes and blow the 1MB budget)
     tris_ref,       # (T*9,) f32: v0 xyz, e1 xyz, e2 xyz — flat; SMEM, or
@@ -77,11 +85,13 @@ def _kernel(
     vote_ref,       # SMEM (8,) i32 scratch for cross-phase scalars
     cox, coy, coz, cdx, cdy, cdz,  # VMEM (8,128) f32 current rays
     cix, ciy, ciz,  # VMEM (8,128) f32 cached inverse directions
+    bden,           # VMEM (8,128) f32 best-hit denominator across leaf tiers
     tri_buf=None,   # [stream_tris] SMEM (MAX_LEAF*9,) f32 leaf staging
     dma_sem=None,   # [stream_tris] DMA semaphore
     *,
     any_hit: bool,
     stream_tris: bool = False,
+    one_vote: bool = True,
 ):
     num_tris = tris_ref.shape[0] // 9
     num_inst = root_ref.shape[0]
@@ -100,6 +110,13 @@ def _kernel(
         ciz[:] = 1.0 / jnp.where(
             jnp.abs(qz) < 1e-30, jnp.where(qz < 0, -1e-30, 1e-30), qz
         )
+        if one_vote:
+            # representative tile direction sign per axis, for the static
+            # near-child ordering (recomputed only when the rays change,
+            # amortizing the 3 reductions over the whole BLAS segment)
+            vote_ref[5] = (jnp.sum(cdx[:]) >= 0.0).astype(jnp.int32)
+            vote_ref[6] = (jnp.sum(cdy[:]) >= 0.0).astype(jnp.int32)
+            vote_ref[7] = (jnp.sum(cdz[:]) >= 0.0).astype(jnp.int32)
 
     def run_tile(k, _):
         act = act_ref[k] != 0
@@ -196,14 +213,10 @@ def _kernel(
                     dma.wait()
                 px, py, pz = cox[:], coy[:], coz[:]
                 qx, qy, qz = cdx[:], cdy[:], cdz[:]
-                bt_num = t_ref[k]
-                bt_den = jnp.ones(TILE, jnp.float32)
-                bu_num = u_ref[k]
-                bv_num = v_ref[k]
-                btri = tri_ref[k]
-                binst = inst_ref[k]
-                bfound = found_ref[k]
-                for j in range(MAX_LEAF):
+
+                def mt_tests(j):
+                    # shared Möller–Trumbore det²-scaled geometry tests;
+                    # returns (ok-so-far, u_num, v_num, t_num, det_a)
                     if stream_tris:
                         src, base = tri_buf, local + j * 9
                     else:
@@ -236,24 +249,68 @@ def _kernel(
                     v_num = (qx * qvx + qy * qvy + qz * qvz) * det
                     ok &= (v_num >= 0.0) & (u_num + v_num <= det_a)
                     t_num = (e2x * qvx + e2y * qvy + e2z * qvz) * det
-                    ok &= (t_num > V.INTERSECTION_EPSILON * det_a) & (
-                        t_num * bt_den < bt_num * det_a
-                    )
-                    ok &= live & (j < rd)
-                    bt_num = jnp.where(ok, t_num, bt_num)
-                    bt_den = jnp.where(ok, det_a, bt_den)
-                    bu_num = jnp.where(ok, u_num, bu_num)
-                    bv_num = jnp.where(ok, v_num, bv_num)
-                    btri = jnp.where(ok, first + j, btri)
-                    binst = jnp.where(ok, inst, binst)
-                    bfound = jnp.where(ok, 1, bfound)
-                inv = 1.0 / bt_den
-                t_ref[k] = bt_num * inv
-                u_ref[k] = bu_num * inv
-                v_ref[k] = bv_num * inv
-                tri_ref[k] = btri
-                inst_ref[k] = binst
-                found_ref[k] = bfound
+                    ok &= t_num > V.INTERSECTION_EPSILON * det_a
+                    return ok, u_num, v_num, t_num, det_a
+
+                if any_hit:
+                    # occlusion query: no best-hit bookkeeping — drop the
+                    # cross-multiplied compares, the 7 selects/triangle, and
+                    # the per-leaf divide; just OR valid hits into `found`
+                    maxt_v = t_ref[k]
+
+                    def tier_any(c0):
+                        bfound = found_ref[k] != 0
+                        for j in range(c0, c0 + LEAF_TIER):
+                            ok, _, _, t_num, det_a = mt_tests(j)
+                            ok &= t_num < maxt_v * det_a
+                            ok &= live & (j < rd)
+                            bfound = bfound | ok
+                        found_ref[k] = bfound.astype(jnp.int32)
+
+                    tier_any(0)
+                    for c0 in range(LEAF_TIER, MAX_LEAF, LEAF_TIER):
+                        pl.when(rd > c0)(functools.partial(tier_any, c0))
+                else:
+                    # best-hit state lives in the output refs (t/u/v hold
+                    # det²-scaled numerators, bden the denominator) so each
+                    # tier can load/store it; one divide at leaf exit
+                    # converts back to quotients
+                    bden[:] = jnp.ones(TILE, jnp.float32)
+
+                    def tier_closest(c0):
+                        bt_num = t_ref[k]
+                        bt_den = bden[:]
+                        bu_num = u_ref[k]
+                        bv_num = v_ref[k]
+                        btri = tri_ref[k]
+                        binst = inst_ref[k]
+                        bfound = found_ref[k]
+                        for j in range(c0, c0 + LEAF_TIER):
+                            ok, u_num, v_num, t_num, det_a = mt_tests(j)
+                            ok &= t_num * bt_den < bt_num * det_a
+                            ok &= live & (j < rd)
+                            bt_num = jnp.where(ok, t_num, bt_num)
+                            bt_den = jnp.where(ok, det_a, bt_den)
+                            bu_num = jnp.where(ok, u_num, bu_num)
+                            bv_num = jnp.where(ok, v_num, bv_num)
+                            btri = jnp.where(ok, first + j, btri)
+                            binst = jnp.where(ok, inst, binst)
+                            bfound = jnp.where(ok, 1, bfound)
+                        t_ref[k] = bt_num
+                        bden[:] = bt_den
+                        u_ref[k] = bu_num
+                        v_ref[k] = bv_num
+                        tri_ref[k] = btri
+                        inst_ref[k] = binst
+                        found_ref[k] = bfound
+
+                    tier_closest(0)
+                    for c0 in range(LEAF_TIER, MAX_LEAF, LEAF_TIER):
+                        pl.when(rd > c0)(functools.partial(tier_closest, c0))
+                    inv = 1.0 / bden[:]
+                    t_ref[k] = t_ref[k] * inv
+                    u_ref[k] = u_ref[k] * inv
+                    v_ref[k] = v_ref[k] * inv
 
             phase = jnp.where(is_bot, PHASE_POP, phase)
 
@@ -284,23 +341,48 @@ def _kernel(
                     hit = live & ~((tf < 0.0) | (tn > tf) | (tn >= best))
                     return jnp.where(hit, tn, V.FLT_MAX)
 
-                # one cross-lane reduction per child: the tile-min entry
-                # distance doubles as the vote (< FLT_MAX <=> some ray hit).
-                # (A fused concatenate+reshape reduction measured ~60% slower
-                # — Mosaic inserts layout shuffles.)
-                lmin = jnp.min(child_dist(jnp.clip(ld, 0, None)))
-                rmin = jnp.min(child_dist(jnp.clip(rd, 0, None)))
-                vote_ref[0] = (lmin < V.FLT_MAX).astype(jnp.int32)
-                vote_ref[1] = (rmin < V.FLT_MAX).astype(jnp.int32)
-                # near-first by tile-min entry distance
-                vote_ref[2] = jnp.where(lmin <= rmin, ld, rd)
-                vote_ref[3] = jnp.where(lmin <= rmin, rd, ld)
+                if one_vote:
+                    # ONE cross-lane reduction per node (vector→scalar syncs
+                    # bound the node rate): pack both children's hit votes
+                    # into a single exact f32 sum — countL + 4096·countR
+                    # (≤ 1024 + 4096·1024 < 2^24, so the sum is exact).
+                    # Near-first ordering comes from the host-precomputed
+                    # split axis/sign + the cached tile direction signs.
+                    hl = child_dist(jnp.clip(ld, 0, None)) < V.FLT_MAX
+                    hr = child_dist(jnp.clip(rd, 0, None)) < V.FLT_MAX
+                    code = hl.astype(jnp.float32) + 4096.0 * hr.astype(
+                        jnp.float32
+                    )
+                    vote_ref[0] = jnp.sum(code).astype(jnp.int32)
+                else:
+                    # two reductions: the tile-min entry distance doubles as
+                    # the vote (< FLT_MAX <=> some ray hit). (A fused
+                    # concatenate+reshape reduction measured ~60% slower —
+                    # Mosaic inserts layout shuffles.)
+                    lmin = jnp.min(child_dist(jnp.clip(ld, 0, None)))
+                    rmin = jnp.min(child_dist(jnp.clip(rd, 0, None)))
+                    vote_ref[0] = (lmin < V.FLT_MAX).astype(jnp.int32)
+                    vote_ref[1] = (rmin < V.FLT_MAX).astype(jnp.int32)
+                    # near-first by tile-min entry distance
+                    vote_ref[2] = jnp.where(lmin <= rmin, ld, rd)
+                    vote_ref[3] = jnp.where(lmin <= rmin, rd, ld)
 
-            want_l = is_inner & (vote_ref[0] != 0)
-            want_r = is_inner & (vote_ref[1] != 0)
+            if one_vote:
+                si = vote_ref[0]
+                want_l = is_inner & ((si & 4095) != 0)
+                want_r = is_inner & (si >= 4096)
+                # static near-first: nearer child is the one on the side the
+                # tile's rays come from along the split axis
+                o = order_ref[node]
+                near_is_left = (vote_ref[5 + (o >> 1)] != 0) == ((o & 1) != 0)
+                near = jnp.where(near_is_left, ld, rd)
+                far = jnp.where(near_is_left, rd, ld)
+            else:
+                want_l = is_inner & (vote_ref[0] != 0)
+                want_r = is_inner & (vote_ref[1] != 0)
+                near = vote_ref[2]
+                far = vote_ref[3]
             both = want_l & want_r
-            near = vote_ref[2]
-            far = vote_ref[3]
 
             @pl.when(both)
             def _():
@@ -369,11 +451,12 @@ def _build_call(
     grid: int,
     any_hit: bool,
     stream_tris: bool = False,
+    one_vote: bool = True,
 ):
     # interpret mode lets the hermetic CPU test suite execute the kernel
     interpret = jax.default_backend() == "cpu"
     kernel = functools.partial(
-        _kernel, any_hit=any_hit, stream_tris=stream_tris
+        _kernel, any_hit=any_hit, stream_tris=stream_tris, one_vote=one_vote
     )
     ray_spec = pl.BlockSpec(
         (None, BLOCK_TILES) + TILE, lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM
@@ -396,6 +479,7 @@ def _build_call(
         in_specs=[
             smem(),     # ldata
             smem(),     # rdata
+            smem(),     # order
             smem(),     # boxes
             tris_spec,  # tris
             smem(),     # w2o
@@ -415,7 +499,7 @@ def _build_call(
             pltpu.SMEM((STACK_SIZE,), jnp.int32),
             pltpu.SMEM((8,), jnp.int32),
         ]
-        + [pltpu.VMEM(TILE, jnp.float32)] * 9
+        + [pltpu.VMEM(TILE, jnp.float32)] * 10
         + stream_scratch,
         interpret=interpret,
     )
@@ -437,6 +521,22 @@ def pack_scene(scene, stream_tris: bool = False) -> dict:
         .astype(np.float32)
         .reshape(-1)
     )
+    # static near-child ordering hint per inner node: dominant separation
+    # axis of the two child centroids (2 bits) + whether the right child
+    # sits on the + side of that axis (1 bit); leaves get 0 (unused)
+    ld = scene.bvh_ldata.astype(np.int64)
+    rd = scene.bvh_rdata.astype(np.int64)
+    nmax = ld.shape[0] - 1
+    cl = (
+        scene.bvh_min[np.clip(ld, 0, nmax)] + scene.bvh_max[np.clip(ld, 0, nmax)]
+    )
+    cr = (
+        scene.bvh_min[np.clip(rd, 0, nmax)] + scene.bvh_max[np.clip(rd, 0, nmax)]
+    )
+    diff = cr - cl
+    axis = np.argmax(np.abs(diff), axis=1)
+    rpos = np.take_along_axis(diff, axis[:, None], 1)[:, 0] > 0
+    order = np.where(ld > 0, axis * 2 + rpos, 0).astype(np.int32)
     if stream_tris:
         total = -(-tris.size // STREAM_ALIGN) * STREAM_ALIGN + 2 * STREAM_ALIGN
         tris = np.pad(tris, (0, total - tris.size))
@@ -444,6 +544,7 @@ def pack_scene(scene, stream_tris: bool = False) -> dict:
     return {
         "pk_ldata": scene.bvh_ldata.astype(np.int32),
         "pk_rdata": scene.bvh_rdata.astype(np.int32),
+        "pk_order": order,
         "pk_boxes": boxes,
         "pk_tris": tris,
         "pk_w2o": w2o,
@@ -454,7 +555,7 @@ def pack_scene(scene, stream_tris: bool = False) -> dict:
 
 def scene_smem_bytes(scene, stream_tris: bool = False) -> int:
     return int(
-        scene.bvh_ldata.nbytes * 2
+        scene.bvh_ldata.nbytes * 3
         + scene.bvh_min.nbytes * 2
         + (0 if stream_tris else scene.tri_v0.nbytes * 3)
         + scene.inst_w2o.nbytes
@@ -477,6 +578,13 @@ def intersect_pallas(P, o, d, maxt, active, *, any_hit: bool):
     def comp(x, i):
         return x[:, i].reshape(shape)
 
+    import os
+
+    # measured on sphere 512²@16spp: the single-reduction vote with static
+    # near-child ordering is a net LOSS (43.0 vs 44.9 Mrays/s) — the weaker
+    # ordering adds more node/leaf visits than the saved vector→scalar sync.
+    # Kept as an opt-in experiment for deeper scenes.
+    one_vote = os.environ.get("POLARIS_ONE_VOTE", "0") != "0"
     call = _build_call(
         int(P["pk_ldata"].shape[0]),
         int(P["pk_tris"].shape[0]),
@@ -484,10 +592,12 @@ def intersect_pallas(P, o, d, maxt, active, *, any_hit: bool):
         g,
         any_hit,
         bool(P.get("pk_stream", False)),
+        one_vote,
     )
     t, u, v, tri, inst, found = call(
         P["pk_ldata"],
         P["pk_rdata"],
+        P["pk_order"],
         P["pk_boxes"],
         P["pk_tris"],
         P["pk_w2o"],
