@@ -83,6 +83,8 @@ def _kernel(
     # --- scratch ---
     stack_ref,      # SMEM (STACK_SIZE,) i32
     vote_ref,       # SMEM (8,) i32 scratch for cross-phase scalars
+    fvote_ref,      # SMEM (8,) f32: [one_vote] tile representative ray
+                    # (mean origin, 1/mean direction) for scalar ordering
     cox, coy, coz, cdx, cdy, cdz,  # VMEM (8,128) f32 current rays
     cix, ciy, ciz,  # VMEM (8,128) f32 cached inverse directions
     bden,           # VMEM (8,128) f32 best-hit denominator across leaf tiers
@@ -92,8 +94,10 @@ def _kernel(
     any_hit: bool,
     stream_tris: bool = False,
     one_vote: bool = True,
+    hh: bool = False,
 ):
-    num_tris = tris_ref.shape[0] // 9
+    stride = 12 if hh else 9
+    num_tris = tris_ref.shape[0] // stride
     num_inst = root_ref.shape[0]
 
     def refresh_inv():
@@ -111,12 +115,23 @@ def _kernel(
             jnp.abs(qz) < 1e-30, jnp.where(qz < 0, -1e-30, 1e-30), qz
         )
         if one_vote:
-            # representative tile direction sign per axis, for the static
-            # near-child ordering (recomputed only when the rays change,
-            # amortizing the 3 reductions over the whole BLAS segment)
-            vote_ref[5] = (jnp.sum(cdx[:]) >= 0.0).astype(jnp.int32)
-            vote_ref[6] = (jnp.sum(cdy[:]) >= 0.0).astype(jnp.int32)
-            vote_ref[7] = (jnp.sum(cdz[:]) >= 0.0).astype(jnp.int32)
+            # representative tile ray (mean origin + inverse mean
+            # direction) for the scalar-core near-child ordering —
+            # recomputed only when the rays change, amortizing the 6
+            # reductions + 3 scalar divides over the whole BLAS segment
+            s = 1.0 / TILE_RAYS
+
+            def gdiv(m):
+                return 1.0 / jnp.where(
+                    jnp.abs(m) < 1e-12, jnp.where(m < 0, -1e-12, 1e-12), m
+                )
+
+            fvote_ref[0] = jnp.sum(cox[:]) * s
+            fvote_ref[1] = jnp.sum(coy[:]) * s
+            fvote_ref[2] = jnp.sum(coz[:]) * s
+            fvote_ref[3] = gdiv(jnp.sum(cdx[:]) * s)
+            fvote_ref[4] = gdiv(jnp.sum(cdy[:]) * s)
+            fvote_ref[5] = gdiv(jnp.sum(cdz[:]) * s)
 
     def run_tile(k, _):
         act = act_ref[k] != 0
@@ -201,9 +216,9 @@ def _kernel(
                     # slice shapes aligned to 1024 elements; the covering
                     # window avoids repacking the triangle array). The
                     # array is padded so the window never over-reads.
-                    off9 = first * 9
-                    blk = (off9 // STREAM_ALIGN) * STREAM_ALIGN
-                    local = off9 - blk
+                    off0 = first * stride
+                    blk = (off0 // STREAM_ALIGN) * STREAM_ALIGN
+                    local = off0 - blk
                     dma = pltpu.make_async_copy(
                         tris_ref.at[pl.ds(blk, 2 * STREAM_ALIGN)],
                         tri_buf,
@@ -214,9 +229,53 @@ def _kernel(
                 px, py, pz = cox[:], coy[:], coz[:]
                 qx, qy, qz = cdx[:], cdy[:], cdz[:]
 
+                def hh_tests(j):
+                    # Havel–Herout precomputed-plane test (det²-scaled):
+                    # per-triangle constants are the unnormalized normal N
+                    # with plane offset d0 and two barycentric plane
+                    # equations (N1,d1), (N2,d2). ~15% fewer vector ops per
+                    # triangle than Möller–Trumbore (no per-ray cross
+                    # products). Returns the same (ok, u_num, v_num, t_num,
+                    # det_a) det²-scaled interface.
+                    if stream_tris:
+                        src, base = tri_buf, local + j * 12
+                    else:
+                        src = tris_ref
+                        base = jnp.clip(first + j, 0, num_tris - 1) * 12
+                    nx = src[base + 0]
+                    ny = src[base + 1]
+                    nz = src[base + 2]
+                    d0 = src[base + 3]
+                    n1x = src[base + 4]
+                    n1y = src[base + 5]
+                    n1z = src[base + 6]
+                    d1 = src[base + 7]
+                    n2x = src[base + 8]
+                    n2y = src[base + 9]
+                    n2z = src[base + 10]
+                    d2 = src[base + 11]
+                    det = qx * nx + qy * ny + qz * nz
+                    t_raw = d0 - (px * nx + py * ny + pz * nz)
+                    det_a = det * det
+                    ok = det_a >= V.INTERSECTION_EPSILON * V.INTERSECTION_EPSILON
+                    # scaled hit point P' = det*o + t_raw*d  (P = P'/det)
+                    hx = det * px + t_raw * qx
+                    hy = det * py + t_raw * qy
+                    hz = det * pz + t_raw * qz
+                    u_num = (n1x * hx + n1y * hy + n1z * hz + det * d1) * det
+                    v_num = (n2x * hx + n2y * hy + n2z * hz + det * d2) * det
+                    ok &= (u_num >= 0.0) & (v_num >= 0.0) & (
+                        u_num + v_num <= det_a
+                    )
+                    t_num = t_raw * det
+                    ok &= t_num > V.INTERSECTION_EPSILON * det_a
+                    return ok, u_num, v_num, t_num, det_a
+
                 def mt_tests(j):
                     # shared Möller–Trumbore det²-scaled geometry tests;
                     # returns (ok-so-far, u_num, v_num, t_num, det_a)
+                    if hh:
+                        return hh_tests(j)
                     if stream_tris:
                         src, base = tri_buf, local + j * 9
                     else:
@@ -371,10 +430,29 @@ def _kernel(
                 si = vote_ref[0]
                 want_l = is_inner & ((si & 4095) != 0)
                 want_r = is_inner & (si >= 4096)
-                # static near-first: nearer child is the one on the side the
-                # tile's rays come from along the split axis
-                o = order_ref[node]
-                near_is_left = (vote_ref[5 + (o >> 1)] != 0) == ((o & 1) != 0)
+
+                # near-first ordering on the SCALAR core: slab entry
+                # distance of the tile's representative ray against both
+                # children — overlaps with the vector work and needs no
+                # second reduction sync
+                def rep_tn(ci):
+                    b = [boxes_ref[ci * 6 + k2] for k2 in range(6)]
+                    tx0 = (b[0] - fvote_ref[0]) * fvote_ref[3]
+                    tx1 = (b[3] - fvote_ref[0]) * fvote_ref[3]
+                    ty0 = (b[1] - fvote_ref[1]) * fvote_ref[4]
+                    ty1 = (b[4] - fvote_ref[1]) * fvote_ref[4]
+                    tz0 = (b[2] - fvote_ref[2]) * fvote_ref[5]
+                    tz1 = (b[5] - fvote_ref[2]) * fvote_ref[5]
+                    return jnp.maximum(
+                        jnp.maximum(
+                            jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)
+                        ),
+                        jnp.minimum(tz0, tz1),
+                    )
+
+                near_is_left = rep_tn(jnp.clip(ld, 0, None)) <= rep_tn(
+                    jnp.clip(rd, 0, None)
+                )
                 near = jnp.where(near_is_left, ld, rd)
                 far = jnp.where(near_is_left, rd, ld)
             else:
@@ -452,11 +530,13 @@ def _build_call(
     any_hit: bool,
     stream_tris: bool = False,
     one_vote: bool = True,
+    hh: bool = False,
 ):
     # interpret mode lets the hermetic CPU test suite execute the kernel
     interpret = jax.default_backend() == "cpu"
     kernel = functools.partial(
-        _kernel, any_hit=any_hit, stream_tris=stream_tris, one_vote=one_vote
+        _kernel, any_hit=any_hit, stream_tris=stream_tris, one_vote=one_vote,
+        hh=hh,
     )
     ray_spec = pl.BlockSpec(
         (None, BLOCK_TILES) + TILE, lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM
@@ -498,10 +578,40 @@ def _build_call(
         scratch_shapes=[
             pltpu.SMEM((STACK_SIZE,), jnp.int32),
             pltpu.SMEM((8,), jnp.int32),
+            pltpu.SMEM((8,), jnp.float32),
         ]
         + [pltpu.VMEM(TILE, jnp.float32)] * 10
         + stream_scratch,
         interpret=interpret,
+    )
+
+
+def _tri_test_kind() -> str:
+    import os
+
+    return os.environ.get("POLARIS_TRI_TEST", "mt")
+
+
+def _pack_tris_hh(scene) -> np.ndarray:
+    """Havel–Herout per-triangle constants, 12 f32 each: the unnormalized
+    normal N with plane offset d0 = N·v0, plus the two barycentric plane
+    equations N1 = (e2×N)/|N|², d1 = −N1·v0 and N2 = (N×e1)/|N|²,
+    d2 = −N2·v0 (precomputed in f64). Degenerate triangles get |N|² floored
+    so the pack stays finite; the kernel's det² ≥ ε² test rejects them."""
+    v0 = scene.tri_v0.astype(np.float64)
+    e1 = scene.tri_e1.astype(np.float64)
+    e2 = scene.tri_e2.astype(np.float64)
+    n = np.cross(e1, e2)
+    nn = np.maximum((n * n).sum(axis=1, keepdims=True), 1e-300)
+    n1 = np.cross(e2, n) / nn
+    n2 = np.cross(n, e1) / nn
+    d0 = (n * v0).sum(axis=1, keepdims=True)
+    d1 = -(n1 * v0).sum(axis=1, keepdims=True)
+    d2 = -(n2 * v0).sum(axis=1, keepdims=True)
+    return (
+        np.concatenate([n, d0, n1, d1, n2, d2], axis=1)
+        .astype(np.float32)
+        .reshape(-1)
     )
 
 
@@ -516,11 +626,15 @@ def pack_scene(scene, stream_tris: bool = False) -> dict:
         .astype(np.float32)
         .reshape(-1)
     )
-    tris = (
-        np.concatenate([scene.tri_v0, scene.tri_e1, scene.tri_e2], axis=1)
-        .astype(np.float32)
-        .reshape(-1)
-    )
+    hh = _tri_test_kind() == "hh"
+    if hh:
+        tris = _pack_tris_hh(scene)
+    else:
+        tris = (
+            np.concatenate([scene.tri_v0, scene.tri_e1, scene.tri_e2], axis=1)
+            .astype(np.float32)
+            .reshape(-1)
+        )
     # static near-child ordering hint per inner node: dominant separation
     # axis of the two child centroids (2 bits) + whether the right child
     # sits on the + side of that axis (1 bit); leaves get 0 (unused)
@@ -550,14 +664,16 @@ def pack_scene(scene, stream_tris: bool = False) -> dict:
         "pk_w2o": w2o,
         "pk_roots": scene.inst_bvh_root.astype(np.int32),
         "pk_stream": stream_tris,
+        "pk_hh": hh,
     }
 
 
 def scene_smem_bytes(scene, stream_tris: bool = False) -> int:
+    tri_floats = 4 if _tri_test_kind() == "hh" else 3
     return int(
         scene.bvh_ldata.nbytes * 3
         + scene.bvh_min.nbytes * 2
-        + (0 if stream_tris else scene.tri_v0.nbytes * 3)
+        + (0 if stream_tris else scene.tri_v0.nbytes * tri_floats)
         + scene.inst_w2o.nbytes
         + scene.inst_bvh_root.nbytes
     )
@@ -593,6 +709,7 @@ def intersect_pallas(P, o, d, maxt, active, *, any_hit: bool):
         any_hit,
         bool(P.get("pk_stream", False)),
         one_vote,
+        bool(P.get("pk_hh", False)),
     )
     t, u, v, tri, inst, found = call(
         P["pk_ldata"],
