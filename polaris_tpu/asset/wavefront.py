@@ -179,7 +179,7 @@ class WavefrontReader:
                 if cmd in ("call", "mtllib"):
                     if len(tok) != 2:
                         raise WavefrontError(
-                            f'unsupported syntax for "{cmd}"; expected 1 argument'
+                            f'"{cmd}" needs exactly one argument'
                         )
                     self.err_stack.insert(
                         0, f"referenced from {res.path}:{line_num} [{cmd}]"
@@ -193,7 +193,7 @@ class WavefrontReader:
                 elif cmd == "usemtl":
                     if len(tok) != 2:
                         raise WavefrontError(
-                            'unsupported syntax for "usemtl"; expected 1 argument'
+                            '"usemtl" needs exactly one argument (the material name)'
                         )
                     if tok[1] not in self.mat_name_to_index:
                         raise WavefrontError(
@@ -209,7 +209,7 @@ class WavefrontReader:
                 elif cmd in ("g", "o"):
                     if len(tok) < 2:
                         raise WavefrontError(
-                            f'unsupported syntax for "{cmd}"; expected object name'
+                            f'"{cmd}" needs an object/group name'
                         )
                     self._verify_last_mesh()
                     self.meshes.append(_PendingMesh(tok[1]))
@@ -249,9 +249,8 @@ class WavefrontReader:
     def _parse_face(self, tok, rel_v, rel_uv, rel_n) -> None:
         if len(tok) < 4 or len(tok) > 5:
             raise WavefrontError(
-                'unsupported syntax for "f"; expected 3 arguments for triangular '
-                f"face or 4 arguments for a quad face; got {len(tok) - 1}. "
-                "Select the triangulation option in your exporter"
+                f'"f" takes 3 vertices (triangle) or 4 (quad); got {len(tok) - 1} — '
+                "triangulate the mesh on export or fix the face line"
             )
         nverts = len(tok) - 1
         verts = np.zeros((4, 3), np.float32)
@@ -265,8 +264,9 @@ class WavefrontReader:
                 exp_indices = len(parts)
             elif len(parts) != exp_indices:
                 raise WavefrontError(
-                    f"expected each face argument to contain {exp_indices} indices; "
-                    f"arg {arg} contains {len(parts)} indices"
+                    f"face vertex {arg} has {len(parts)} index fields but the first "
+                    f"vertex on this face has {exp_indices}; mixed v/vt/vn forms "
+                    "on one face are not allowed"
                 )
             if parts[0] == "":
                 raise WavefrontError(
@@ -310,7 +310,7 @@ class WavefrontReader:
         """instance name tX tY tZ yaw pitch roll sX sY sZ (wavefront.go:448-526)."""
         if len(tok) != 11:
             raise WavefrontError(
-                'unsupported syntax for "instance"; expected 10 arguments: '
+                '"instance" takes 10 arguments: '
                 "mesh_name tX tY tZ yaw pitch roll sX sY sZ; "
                 f"got {len(tok) - 1}"
             )
@@ -349,7 +349,7 @@ class WavefrontReader:
                 if cmd == "newmtl":
                     if len(tok) != 2:
                         raise WavefrontError(
-                            'unsupported syntax for "newmtl"; expected 1 argument'
+                            '"newmtl" needs exactly one argument (the material name)'
                         )
                     mat_name = tok[1]
                     if mat_name in self.mat_name_to_index:
@@ -365,7 +365,7 @@ class WavefrontReader:
                 if cmd == "include":
                     if len(tok) < 2:
                         raise WavefrontError(
-                            'unsupported syntax for "include"; expected 1 argument'
+                            '"include" needs exactly one argument (a path)'
                         )
                     base_idx = self.mat_name_to_index.get(tok[1])
                     if base_idx is None:
@@ -407,7 +407,7 @@ class WavefrontReader:
                 elif cmd == "mat_expr":
                     if len(tok) < 2:
                         raise WavefrontError(
-                            'unsupported syntax for "mat_expr"; expected 1 argument'
+                            '"mat_expr" needs exactly one argument (quote the expression)'
                         )
                     cur.expression = " ".join(tok[1:])
                 elif cmd == "KeScaler":
@@ -467,7 +467,7 @@ def _coord_index(token: str, list_len: int, rel_offset: int) -> int:
 def _float(tok) -> float:
     if len(tok) < 2:
         raise WavefrontError(
-            f'unsupported syntax for "{tok[0]}"; expected 1 argument'
+            f'"{tok[0]}" needs 1 value'
         )
     return float(tok[1])
 
@@ -475,7 +475,7 @@ def _float(tok) -> float:
 def _vec3(tok) -> np.ndarray:
     if len(tok) < 4:
         raise WavefrontError(
-            f'unsupported syntax for "{tok[0]}"; expected 3 arguments'
+            f'"{tok[0]}" needs 3 values'
         )
     return np.array([float(tok[1]), float(tok[2]), float(tok[3])], np.float32)
 
@@ -483,7 +483,7 @@ def _vec3(tok) -> np.ndarray:
 def _vec2(tok) -> np.ndarray:
     if len(tok) < 3:
         raise WavefrontError(
-            f'unsupported syntax for "{tok[0]}"; expected 2 arguments'
+            f'"{tok[0]}" needs 2 values'
         )
     return np.array([float(tok[1]), float(tok[2])], np.float32)
 

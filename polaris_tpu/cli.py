@@ -65,6 +65,11 @@ def _add_render_opts(p: argparse.ArgumentParser) -> None:
                    help="shard image rows over this many devices (0 = single)")
     p.add_argument("--sample-shards", type=int, default=1,
                    help="shard spp over this many devices (psum merge)")
+    p.add_argument("--pool", type=int, default=0,
+                   help="worker-pool mode: one feedback-scheduled worker "
+                        "thread per device over this many devices "
+                        "(heterogeneous backends; ≙ reference default "
+                        "renderer + PerfectScheduler)")
     p.add_argument("--out", default="frame.png")
     p.add_argument("--debug", default=None,
                    help="render a debug channel: depth|normals|uv|hitmask|"
@@ -84,7 +89,17 @@ def cmd_render_frame(args) -> int:
 
     import jax
 
-    if args.tiles or args.sample_shards > 1:
+    pool = None
+    mesh = None
+    if args.pool:
+        from .parallel.workers import make_device_pool
+
+        pool = make_device_pool(
+            scene, mode=args.mode, devices=jax.devices()[: args.pool]
+        )
+        renderer = pool
+        _log.info("worker pool over %d devices", args.pool)
+    elif args.tiles or args.sample_shards > 1:
         from .parallel.mesh import DistributedRenderer, make_mesh
 
         tiles = args.tiles or 1
@@ -108,20 +123,39 @@ def cmd_render_frame(args) -> int:
     total_ms = (time.perf_counter() - t0) * 1e3
     _save_png(args.out, img)
 
-    stats = FrameStats(total_ms=total_ms)
-    devs = jax.devices()
-    n_workers = (args.tiles or 1) * args.sample_shards if (args.tiles or args.sample_shards > 1) else 1
-    rows = args.height // (args.tiles or 1)
-    for i in range(n_workers):
-        stats.workers.append(
-            WorkerFrameStats(
-                device_id=str(devs[i % len(devs)]),
-                block_w=args.width,
-                block_h=rows,
-                render_time_ms=getattr(renderer, "last_render_ms", total_ms),
+    if pool is not None:
+        # measured per-worker telemetry from the feedback scheduler path
+        stats = pool.frame_stats
+        stats.total_ms = total_ms
+    else:
+        stats = FrameStats(total_ms=total_ms)
+        if mesh is not None:
+            # one SPMD program spans all shards: report the real static
+            # block assignment per tile shard, no fabricated per-device
+            # times (cf. reference per-device table, cmd/render.go:82-101)
+            n_tiles = mesh.shape["tile"]
+            rows = args.height // n_tiles
+            for ti in range(n_tiles):
+                devs = ", ".join(str(d) for d in mesh.devices[ti])
+                stats.workers.append(
+                    WorkerFrameStats(
+                        device_id=devs[:28],
+                        block_w=args.width,
+                        block_h=rows,
+                    )
+                )
+            stats.finalize()
+        else:
+            stats.workers.append(
+                WorkerFrameStats(
+                    device_id=str(jax.devices()[0]),
+                    block_w=args.width,
+                    block_h=args.height,
+                    render_time_ms=getattr(renderer, "last_render_ms", total_ms),
+                )
             )
-        )
-    print(stats.finalize().table())
+            stats.finalize()
+    print(stats.table())
     return 0
 
 
@@ -183,14 +217,42 @@ def cmd_scene_info(args) -> int:
     return 0
 
 
+# nominal per-chip peak dense bf16 TFLOP/s by device kind, from Google's
+# published TPU specs — the honest analog of the reference's
+# computeUnits x clockMHz GFlops estimate (device.go:209-222), used only as
+# the NaiveScheduler's first-frame speed prior
+_PEAK_BF16_TFLOPS = {
+    "TPU v2": 45.0,
+    "TPU v3": 61.5,
+    "TPU v4": 137.5,
+    "TPU v5 lite": 197.0,
+    "TPU v5": 229.5,
+    "TPU v5p": 229.5,
+    "TPU v6 lite": 459.0,
+}
+
+
+def device_speed(d) -> float:
+    """Nominal peak bf16 TFLOP/s for a device, 0.0 if unknown."""
+    kind = getattr(d, "device_kind", "")
+    for prefix, tflops in sorted(
+        _PEAK_BF16_TFLOPS.items(), key=lambda kv: -len(kv[0])
+    ):
+        if kind.startswith(prefix):
+            return tflops
+    return 0.0
+
+
 def cmd_devices(args) -> int:
-    """List devices (≙ cmd/list_devices.go:13-38)."""
+    """List devices (≙ cmd/list_devices.go:13-38, incl. its speed column)."""
     import jax
 
-    print(f"{'Device':<28} {'Platform':>10} {'Kind':>16}")
-    print("-" * 58)
+    print(f"{'Device':<28} {'Platform':>10} {'Kind':>16} {'Peak bf16':>12}")
+    print("-" * 70)
     for d in jax.devices():
-        print(f"{str(d):<28} {d.platform:>10} {d.device_kind:>16}")
+        sp = device_speed(d)
+        sp_s = f"{sp:.0f} TFLOPs" if sp else "n/a"
+        print(f"{str(d):<28} {d.platform:>10} {d.device_kind:>16} {sp_s:>12}")
     return 0
 
 

@@ -521,332 +521,6 @@ def _kernel(
 
 
 
-def _kernel2(
-    # --- scalar (SMEM) scene inputs (same layout as _kernel) ---
-    ldata_ref,
-    rdata_ref,
-    order_ref,
-    boxes_ref,
-    tris_ref,
-    w2o_ref,
-    root_ref,
-    # --- per-tile (VMEM) ray inputs ---
-    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, maxt_ref, act_ref,
-    # --- outputs (VMEM) ---
-    t_ref, u_ref, v_ref, tri_ref, inst_ref, found_ref,
-    # --- scratch ---
-    stack_ref,      # SMEM (2*STACK_SIZE,) i32 — packet p uses [p*STACK:...]
-    vote_ref,       # SMEM (16,) i32 — packet p uses [8p .. 8p+4]
-    *pk_scratch,    # 2 packets × 10 VMEM (8,128) f32:
-                    # cox coy coz cdx cdy cdz cix ciy ciz bden
-    any_hit: bool,
-):
-    """Two-packet interleaved variant of ``_kernel``.
-
-    Each while-loop iteration advances TWO independent ray tiles (own
-    stack, own phase/node/stack-pointer scalars, own VMEM ray state). The
-    body issues both packets' *vector* stages (instance transform, leaf
-    Möller–Trumbore tiers, child slab tests + vote reductions) before
-    either packet's *scalar* stage consumes its votes — so packet B's
-    vector work fills the vector→scalar reduction-sync latency that
-    otherwise stalls packet A at every inner node (docs/perf.md: reduction
-    count bounds the node rate). Per-packet traversal order and arithmetic
-    are identical to ``_kernel``, so results are bit-exact.
-
-    Supports the default configuration only (in-SMEM triangles,
-    Möller–Trumbore, exact two-reduction vote); callers fall back to
-    ``_kernel`` for stream/hh/one-vote variants.
-    """
-    num_tris = tris_ref.shape[0] // 9
-    num_inst = root_ref.shape[0]
-    PK = [pk_scratch[0:10], pk_scratch[10:20]]
-
-    def refresh_inv(p):
-        cox, coy, coz, cdx, cdy, cdz, cix, ciy, ciz, _ = PK[p]
-        qx, qy, qz = cdx[:], cdy[:], cdz[:]
-        cix[:] = 1.0 / jnp.where(
-            jnp.abs(qx) < 1e-30, jnp.where(qx < 0, -1e-30, 1e-30), qx
-        )
-        ciy[:] = 1.0 / jnp.where(
-            jnp.abs(qy) < 1e-30, jnp.where(qy < 0, -1e-30, 1e-30), qy
-        )
-        ciz[:] = 1.0 / jnp.where(
-            jnp.abs(qz) < 1e-30, jnp.where(qz < 0, -1e-30, 1e-30), qz
-        )
-
-    def run_pair(g, _):
-        ks = (2 * g, 2 * g + 1)
-        acts = []
-        for p in range(2):
-            k = ks[p]
-            cox, coy, coz, cdx, cdy, cdz, cix, ciy, ciz, _ = PK[p]
-            act = act_ref[k] != 0
-            acts.append(act)
-            cox[:] = ox_ref[k]
-            coy[:] = oy_ref[k]
-            coz[:] = oz_ref[k]
-            cdx[:] = dx_ref[k]
-            cdy[:] = dy_ref[k]
-            cdz[:] = dz_ref[k]
-            refresh_inv(p)
-            t_ref[k] = jnp.where(act, maxt_ref[k], 0.0)
-            u_ref[k] = jnp.zeros(TILE, jnp.float32)
-            v_ref[k] = jnp.zeros(TILE, jnp.float32)
-            tri_ref[k] = jnp.zeros(TILE, jnp.int32)
-            inst_ref[k] = jnp.zeros(TILE, jnp.int32)
-            found_ref[k] = jnp.zeros(TILE, jnp.int32)
-
-        def vector_stage(p, phase, node, sp, msbi, inst):
-            k = ks[p]
-            act = acts[p]
-            cox, coy, coz, cdx, cdy, cdz, cix, ciy, ciz, bden = PK[p]
-            base = 8 * p
-            ld = ldata_ref[node]
-            rd = rdata_ref[node]
-            in_node = phase == PHASE_NODE
-            is_leaf = ld <= 0
-            is_top = in_node & is_leaf & (rd == 0)
-            is_bot = in_node & is_leaf & (rd > 0)
-            is_inner = in_node & (~is_leaf)
-            inst_id = jnp.clip(-ld, 0, num_inst - 1)
-
-            @pl.when(is_top)
-            def _():
-                m = [w2o_ref[inst_id * 12 + c_] for c_ in range(12)]
-                px, py, pz = cox[:], coy[:], coz[:]
-                cox[:] = m[0] * px + m[1] * py + m[2] * pz + m[3]
-                coy[:] = m[4] * px + m[5] * py + m[6] * pz + m[7]
-                coz[:] = m[8] * px + m[9] * py + m[10] * pz + m[11]
-                qx, qy, qz = cdx[:], cdy[:], cdz[:]
-                cdx[:] = m[0] * qx + m[1] * qy + m[2] * qz
-                cdy[:] = m[4] * qx + m[5] * qy + m[6] * qz
-                cdz[:] = m[8] * qx + m[9] * qy + m[10] * qz
-                refresh_inv(p)
-
-            @pl.when(is_bot)
-            def _():
-                first = -ld
-                if any_hit:
-                    live = act & (found_ref[k] == 0)
-                else:
-                    live = act
-                px, py, pz = cox[:], coy[:], coz[:]
-                qx, qy, qz = cdx[:], cdy[:], cdz[:]
-
-                def mt_tests(j):
-                    base_t = jnp.clip(first + j, 0, num_tris - 1) * 9
-                    src = tris_ref
-                    v0x = src[base_t + 0]
-                    v0y = src[base_t + 1]
-                    v0z = src[base_t + 2]
-                    e1x = src[base_t + 3]
-                    e1y = src[base_t + 4]
-                    e1z = src[base_t + 5]
-                    e2x = src[base_t + 6]
-                    e2y = src[base_t + 7]
-                    e2z = src[base_t + 8]
-                    pvx = qy * e2z - qz * e2y
-                    pvy = qz * e2x - qx * e2z
-                    pvz = qx * e2y - qy * e2x
-                    det = e1x * pvx + e1y * pvy + e1z * pvz
-                    det_a = det * det
-                    ok = det_a >= V.INTERSECTION_EPSILON * V.INTERSECTION_EPSILON
-                    tvx = px - v0x
-                    tvy = py - v0y
-                    tvz = pz - v0z
-                    u_num = (tvx * pvx + tvy * pvy + tvz * pvz) * det
-                    ok &= (u_num >= 0.0) & (u_num <= det_a)
-                    qvx = tvy * e1z - tvz * e1y
-                    qvy = tvz * e1x - tvx * e1z
-                    qvz = tvx * e1y - tvy * e1x
-                    v_num = (qx * qvx + qy * qvy + qz * qvz) * det
-                    ok &= (v_num >= 0.0) & (u_num + v_num <= det_a)
-                    t_num = (e2x * qvx + e2y * qvy + e2z * qvz) * det
-                    ok &= t_num > V.INTERSECTION_EPSILON * det_a
-                    return ok, u_num, v_num, t_num, det_a
-
-                if any_hit:
-                    maxt_v = t_ref[k]
-
-                    def tier_any(c0):
-                        bfound = found_ref[k] != 0
-                        for j in range(c0, c0 + LEAF_TIER):
-                            ok, _, _, t_num, det_a = mt_tests(j)
-                            ok &= t_num < maxt_v * det_a
-                            ok &= live & (j < rd)
-                            bfound = bfound | ok
-                        found_ref[k] = bfound.astype(jnp.int32)
-
-                    tier_any(0)
-                    for c0 in range(LEAF_TIER, MAX_LEAF, LEAF_TIER):
-                        pl.when(rd > c0)(functools.partial(tier_any, c0))
-                    vote_ref[base + 4] = jnp.any(
-                        act & (found_ref[k] == 0)
-                    ).astype(jnp.int32)
-                else:
-                    bden[:] = jnp.ones(TILE, jnp.float32)
-
-                    def tier_closest(c0):
-                        bt_num = t_ref[k]
-                        bt_den = bden[:]
-                        bu_num = u_ref[k]
-                        bv_num = v_ref[k]
-                        btri = tri_ref[k]
-                        binst = inst_ref[k]
-                        bfound = found_ref[k]
-                        for j in range(c0, c0 + LEAF_TIER):
-                            ok, u_num, v_num, t_num, det_a = mt_tests(j)
-                            ok &= t_num * bt_den < bt_num * det_a
-                            ok &= live & (j < rd)
-                            bt_num = jnp.where(ok, t_num, bt_num)
-                            bt_den = jnp.where(ok, det_a, bt_den)
-                            bu_num = jnp.where(ok, u_num, bu_num)
-                            bv_num = jnp.where(ok, v_num, bv_num)
-                            btri = jnp.where(ok, first + j, btri)
-                            binst = jnp.where(ok, inst, binst)
-                            bfound = jnp.where(ok, 1, bfound)
-                        t_ref[k] = bt_num
-                        bden[:] = bt_den
-                        u_ref[k] = bu_num
-                        v_ref[k] = bv_num
-                        tri_ref[k] = btri
-                        inst_ref[k] = binst
-                        found_ref[k] = bfound
-
-                    tier_closest(0)
-                    for c0 in range(LEAF_TIER, MAX_LEAF, LEAF_TIER):
-                        pl.when(rd > c0)(functools.partial(tier_closest, c0))
-                    inv = 1.0 / bden[:]
-                    t_ref[k] = t_ref[k] * inv
-                    u_ref[k] = u_ref[k] * inv
-                    v_ref[k] = v_ref[k] * inv
-
-            @pl.when(is_inner)
-            def _():
-                if any_hit:
-                    live = act & (found_ref[k] == 0)
-                else:
-                    live = act
-                px, py, pz = cox[:], coy[:], coz[:]
-                ix, iy, iz = cix[:], ciy[:], ciz[:]
-                best = t_ref[k]
-
-                def child_dist(ci):
-                    b = [boxes_ref[ci * 6 + k2] for k2 in range(6)]
-                    tx0 = (b[0] - px) * ix
-                    tx1 = (b[3] - px) * ix
-                    ty0 = (b[1] - py) * iy
-                    ty1 = (b[4] - py) * iy
-                    tz0 = (b[2] - pz) * iz
-                    tz1 = (b[5] - pz) * iz
-                    tn = jnp.maximum(
-                        jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-                        jnp.minimum(tz0, tz1),
-                    )
-                    tf = jnp.minimum(
-                        jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-                        jnp.maximum(tz0, tz1),
-                    )
-                    hit = live & ~((tf < 0.0) | (tn > tf) | (tn >= best))
-                    return jnp.where(hit, tn, V.FLT_MAX)
-
-                lmin = jnp.min(child_dist(jnp.clip(ld, 0, None)))
-                rmin = jnp.min(child_dist(jnp.clip(rd, 0, None)))
-                vote_ref[base + 0] = (lmin < V.FLT_MAX).astype(jnp.int32)
-                vote_ref[base + 1] = (rmin < V.FLT_MAX).astype(jnp.int32)
-                vote_ref[base + 2] = jnp.where(lmin <= rmin, ld, rd)
-                vote_ref[base + 3] = jnp.where(lmin <= rmin, rd, ld)
-
-            return ld, rd
-
-        def scalar_stage(p, phase, node, sp, msbi, inst, ld, rd):
-            k = ks[p]
-            cox, coy, coz, cdx, cdy, cdz, cix, ciy, ciz, _ = PK[p]
-            base = 8 * p
-            in_node = phase == PHASE_NODE
-            is_leaf = ld <= 0
-            is_top = in_node & is_leaf & (rd == 0)
-            is_bot = in_node & is_leaf & (rd > 0)
-            is_inner = in_node & (~is_leaf)
-            inst_id = jnp.clip(-ld, 0, num_inst - 1)
-            msbi = jnp.where(is_top, sp, msbi)
-            inst = jnp.where(is_top, inst_id, inst)
-            node = jnp.where(is_top, root_ref[inst_id], node)
-            phase = jnp.where(is_bot, PHASE_POP, phase)
-            want_l = is_inner & (vote_ref[base + 0] != 0)
-            want_r = is_inner & (vote_ref[base + 1] != 0)
-            both = want_l & want_r
-            near = vote_ref[base + 2]
-            far = vote_ref[base + 3]
-
-            @pl.when(both)
-            def _():
-                stack_ref[
-                    p * STACK_SIZE + jnp.clip(sp, 0, STACK_SIZE - 1)
-                ] = far
-
-            sp = jnp.where(both, sp + 1, sp)
-            node = jnp.where(both, near, node)
-            node = jnp.where(want_l ^ want_r, jnp.where(want_l, ld, rd), node)
-            phase = jnp.where(is_inner & ~(want_l | want_r), PHASE_POP, phase)
-            if any_hit:
-                phase = jnp.where(
-                    is_bot & (vote_ref[base + 4] == 0), PHASE_DONE, phase
-                )
-            in_pop = phase == PHASE_POP
-            restore = in_pop & (sp == msbi)
-
-            @pl.when(restore)
-            def _():
-                cox[:] = ox_ref[k]
-                coy[:] = oy_ref[k]
-                coz[:] = oz_ref[k]
-                cdx[:] = dx_ref[k]
-                cdy[:] = dy_ref[k]
-                cdz[:] = dz_ref[k]
-                refresh_inv(p)
-
-            msbi = jnp.where(restore, -1, msbi)
-            sp = jnp.where(in_pop, sp - 1, sp)
-            node = jnp.where(
-                in_pop & (sp >= 0),
-                stack_ref[p * STACK_SIZE + jnp.clip(sp, 0, STACK_SIZE - 1)],
-                node,
-            )
-            phase = jnp.where(
-                in_pop, jnp.where(sp >= 0, PHASE_NODE, PHASE_DONE), phase
-            )
-            return phase, node, sp, msbi, inst
-
-        def cond(c):
-            return (c[0] != PHASE_DONE) | (c[5] != PHASE_DONE)
-
-        def body(c):
-            s0, s1 = c[0:5], c[5:10]
-            ld0, rd0 = vector_stage(0, *s0)
-            ld1, rd1 = vector_stage(1, *s1)
-            n0 = scalar_stage(0, *s0, ld0, rd0)
-            n1 = scalar_stage(1, *s1, ld1, rd1)
-            return (*n0, *n1)
-
-        init = []
-        for p in range(2):
-            live = jnp.any(acts[p])
-            init.extend(
-                [
-                    jnp.where(live, PHASE_NODE, PHASE_DONE).astype(jnp.int32),
-                    jnp.int32(0),
-                    jnp.int32(0),
-                    jnp.int32(-1),
-                    jnp.int32(0),
-                ]
-            )
-        jax.lax.while_loop(cond, body, tuple(init))
-        return 0
-
-    jax.lax.fori_loop(0, BLOCK_TILES // 2, run_pair, 0)
-
-
 @functools.lru_cache(maxsize=None)
 def _build_call(
     num_nodes: int,
@@ -857,18 +531,13 @@ def _build_call(
     stream_tris: bool = False,
     one_vote: bool = True,
     hh: bool = False,
-    interleave: bool = False,
 ):
     # interpret mode lets the hermetic CPU test suite execute the kernel
     interpret = jax.default_backend() == "cpu"
-    if interleave:
-        assert not (stream_tris or one_vote or hh)
-        kernel = functools.partial(_kernel2, any_hit=any_hit)
-    else:
-        kernel = functools.partial(
-            _kernel, any_hit=any_hit, stream_tris=stream_tris,
-            one_vote=one_vote, hh=hh,
-        )
+    kernel = functools.partial(
+        _kernel, any_hit=any_hit, stream_tris=stream_tris,
+        one_vote=one_vote, hh=hh,
+    )
     ray_spec = pl.BlockSpec(
         (None, BLOCK_TILES) + TILE, lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM
     )
@@ -908,12 +577,6 @@ def _build_call(
         ],
         scratch_shapes=(
             [
-                pltpu.SMEM((2 * STACK_SIZE,), jnp.int32),
-                pltpu.SMEM((16,), jnp.int32),
-            ]
-            + [pltpu.VMEM(TILE, jnp.float32)] * 20
-            if interleave
-            else [
                 pltpu.SMEM((STACK_SIZE,), jnp.int32),
                 pltpu.SMEM((8,), jnp.int32),
                 pltpu.SMEM((8,), jnp.float32),
@@ -1042,10 +705,6 @@ def intersect_pallas(P, o, d, maxt, active, *, any_hit: bool):
     one_vote = os.environ.get("POLARIS_ONE_VOTE", "0") != "0"
     stream = bool(P.get("pk_stream", False))
     hh = bool(P.get("pk_hh", False))
-    interleave = (
-        os.environ.get("POLARIS_INTERLEAVE", "0") != "0"
-        and not (stream or one_vote or hh)
-    )
     call = _build_call(
         int(P["pk_ldata"].shape[0]),
         int(P["pk_tris"].shape[0]),
@@ -1055,7 +714,6 @@ def intersect_pallas(P, o, d, maxt, active, *, any_hit: bool):
         stream,
         one_vote,
         hh,
-        interleave,
     )
     t, u, v, tri, inst, found = call(
         P["pk_ldata"],

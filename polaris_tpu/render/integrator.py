@@ -568,6 +568,92 @@ class TpuRenderer:
         img = tonemap_reinhard(jnp, accum, 1.0 / opt.spp, opt.exposure)
         return np.asarray(img)
 
+    # ----- row-band rendering (feedback-scheduler work units) -----
+
+    def _get_band_fn(self, opt: RenderOptions, band_h: int):
+        """Jitted program rendering a [band_h, W] row band whose top row is a
+        *traced* argument: all equal-height bands share one compiled program,
+        the way the reference reuses one kernel for any BlockY
+        (camera.cl:32, default.go:127-136)."""
+        key = ("band", opt.width, band_h, opt.spp, opt.num_bounces,
+               opt.min_bounces_for_rr)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        W = opt.width
+        n = W * band_h
+        h_xs, h_ys, _, h_inv = blocked_pixel_order(W, band_h)
+        blocked = not np.array_equal(
+            h_xs, np.arange(n, dtype=np.int64) % W
+        )
+
+        def band_fn(geom, params, frustum, eye, seed, sample_offset, row0):
+            S = {**geom, **params}
+            xs = jnp.asarray(h_xs)
+            ys = jnp.asarray(h_ys).astype(jnp.int32) + row0
+            # full-frame pixel index keys the RNG -> band renders are
+            # bit-identical to the same rows of a full-frame render
+            pixel_idx = ys.astype(jnp.uint32) * W + xs.astype(jnp.uint32)
+
+            def sample_body(s, accum):
+                rad = render_sample_block(
+                    S,
+                    self.closest,
+                    self.any_hit,
+                    frustum=frustum,
+                    eye=eye,
+                    width=W,
+                    height=opt.height,
+                    pixel_x=xs,
+                    pixel_y=ys,
+                    pixel_idx=pixel_idx,
+                    sample_idx=sample_offset + s,
+                    seed=seed,
+                    num_bounces=opt.num_bounces,
+                    min_bounces_for_rr=opt.min_bounces_for_rr,
+                    num_emissives=self.num_emissives,
+                    scene_diffuse_mat=self.scene_diffuse_mat,
+                    material_depth=self.material_depth,
+                    closest_bounce=self.closest_bounce,
+                )
+                return accum + rad
+
+            accum = jax.lax.fori_loop(
+                0, opt.spp, sample_body, jnp.zeros((n, 3), jnp.float32)
+            )
+            if blocked:
+                accum = accum[jnp.asarray(h_inv)]
+            return accum.reshape(band_h, W, 3)
+
+        fn = jax.jit(band_fn)
+        self._jit_cache[key] = fn
+        return fn
+
+    def render_band_accum(
+        self,
+        opt: RenderOptions,
+        y0: int,
+        band_h: int,
+        camera: Optional[Camera] = None,
+        sample_offset: int = 0,
+    ) -> jnp.ndarray:
+        """Render rows [y0, y0+band_h) of the frame; the work unit a
+        BlockRequest describes (render/scheduler.py)."""
+        cam = camera or Camera.from_scene(self.scene, opt.width, opt.height)
+        fn = self._get_band_fn(opt, band_h)
+        with Timer() as t:
+            accum = fn(
+                self.geom,
+                self.params,
+                jnp.asarray(cam.frustum),
+                jnp.asarray(cam.position),
+                jnp.uint32(opt.seed),
+                jnp.int32(sample_offset),
+                jnp.int32(y0),
+            )
+            accum.block_until_ready()
+        self.last_render_ms = t.ms
+        return accum
+
     @staticmethod
     @jax.jit
     def tonemap_u8(accum, sample_weight, exposure):

@@ -8,12 +8,17 @@ from typing import List
 
 @dataclass
 class WorkerFrameStats:
-    """Per-device timing rollup (ref: tracer Stats)."""
+    """Per-device timing rollup (ref: tracer Stats).
+
+    ``render_time_ms`` is None when no per-worker time exists — a single
+    SPMD program spans all shards, so per-device wall time is not separately
+    observable and the table must not fabricate one (the program time lives
+    in FrameStats.total_ms)."""
 
     device_id: str
     block_w: int
     block_h: int
-    render_time_ms: float
+    render_time_ms: float = None
     frame_percent: float = 0.0
 
 
@@ -34,9 +39,14 @@ class FrameStats:
             "-" * 66,
         ]
         for w in self.workers:
+            t = (
+                f"{w.render_time_ms:>9.1f} ms"
+                if w.render_time_ms is not None
+                else f"{'(spmd)':>12}"
+            )
             lines.append(
                 f"{w.device_id:<28} {f'{w.block_w}x{w.block_h}':>12} "
-                f"{w.frame_percent:>9.1f}% {w.render_time_ms:>9.1f} ms"
+                f"{w.frame_percent:>9.1f}% {t}"
             )
         lines.append("-" * 66)
         lines.append(f"{'TOTAL':<28} {'':>12} {'':>10} {self.total_ms:>9.1f} ms")

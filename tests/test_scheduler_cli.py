@@ -117,3 +117,44 @@ def test_cli_debug_channel(tmp_path, scenes_dir):
     )
     assert r.returncode == 0, r.stderr
     assert (tmp_path / "n.png").exists()
+
+
+def _run_cli_multidev(args, cwd, n=4):
+    env = dict(os.environ)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env.update(
+        JAX_PLATFORMS="cpu",
+        JAX_PLATFORM_NAME="cpu",
+        XLA_FLAGS=f"--xla_force_host_platform_device_count={n}",
+        PYTHONPATH=repo + os.pathsep + env.get("PYTHONPATH", ""),
+    )
+    return subprocess.run(
+        [sys.executable, "-m", "polaris_tpu.cli", *args],
+        capture_output=True, text=True, cwd=cwd, env=env, timeout=300,
+    )
+
+
+def test_cli_render_pool_reports_measured_times(tmp_path, scenes_dir):
+    obj = os.path.join(scenes_dir, "cornell.obj")
+    r = _run_cli_multidev(
+        ["render", "frame", obj, "--width", "32", "--height", "32",
+         "--spp", "1", "--num-bounces", "2", "--mode", "bvh",
+         "--pool", "2", "--out", str(tmp_path / "p.png")],
+        str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr
+    # two worker rows, each with its own measured time (not one shared value)
+    rows = [l for l in r.stdout.splitlines() if " ms" in l and "TOTAL" not in l]
+    assert len(rows) == 2, r.stdout
+
+
+def test_cli_render_mesh_no_fabricated_times(tmp_path, scenes_dir):
+    obj = os.path.join(scenes_dir, "cornell.obj")
+    r = _run_cli_multidev(
+        ["render", "frame", obj, "--width", "32", "--height", "32",
+         "--spp", "1", "--num-bounces", "2", "--mode", "bvh",
+         "--tiles", "2", "--out", str(tmp_path / "m.png")],
+        str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr
+    assert "(spmd)" in r.stdout, r.stdout
