@@ -181,37 +181,52 @@ def eval_bxdf(mat, n, i, o):
     alpha = alpha_from_roughness(mat["roughness"])
     if kind == "roughConductor":
         h = _norm(i + o)
-        if np.ndim(mat["int_ior"]) == 0 and mat["int_ior"] == 0.0:
-            F = 1.0
-        else:
-            F = schlick_fresnel(mat["ext_ior"], mat["int_ior"], cos_i)
-        spec = (
+        F = np.where(
+            np.asarray(mat["int_ior"]) == 0.0,
+            1.0,
+            schlick_fresnel(mat["ext_ior"], mat["int_ior"], cos_i),
+        )
+        denom = 4.0 * cos_i * cos_o
+        spec = np.where(
+            denom > 0.0,
             F
             * ggx_ndf(alpha, _dot(n, h))
             * smith_g(alpha, n, h, i, o)
-            / (4.0 * cos_i * cos_o)
+            / np.where(denom > 0.0, denom, 1.0),
+            0.0,
         )
         return spec[..., None] * mat["ks"]
     if kind == "roughDielectric":
+        # Lobe dispatch is the REFERENCE's contract (rough_dielectric.cl:
+        # 113-166): the reflection lobe when hitting from outside
+        # (cos_i > 0, returning 0 unless 4 cos_i cos_o > 0), the
+        # transmission lobe when hitting from inside — NOT the textbook
+        # same-side test. Parity with that contract is what the device path
+        # implements (ops/bxdf.py bxdf_eval).
         eta_i, eta_t = _oriented_iors(mat, cos_i)
         F = schlick_fresnel(eta_i, eta_t, cos_i)
-        same_side = cos_i * cos_o > 0.0
+        from_outside = cos_i > 0.0
         # reflection lobe (Walter'07 eq. 20)
         h_r = _norm(i + o)
-        refl = (
+        denom = 4.0 * cos_i * cos_o
+        refl = np.where(
+            denom > 0.0,
             F
             * ggx_ndf(alpha, _dot(n, h_r))
             * smith_g(alpha, n, h_r, i, o)
-            / (4.0 * cos_i * cos_o)
+            / np.where(denom > 0.0, denom, 1.0),
+            0.0,
         )
         refl3 = refl[..., None] * mat["ks"]
         # transmission lobe (Walter'07 eq. 21)
         h_t = _norm(-(eta_i[..., None] * i + eta_t[..., None] * o))
         ih = np.abs(_dot(i, h_t))
         oh = np.abs(_dot(o, h_t))
-        focus = np.abs(
-            ih * oh * eta_t * eta_t
-            / (cos_i * cos_o * (eta_i * ih + eta_t * oh) ** 2)
+        fdenom = cos_i * cos_o * (eta_i * ih + eta_t * oh) ** 2
+        focus = np.where(
+            np.abs(fdenom) > 0.0,
+            np.abs(ih * oh * eta_t * eta_t / np.where(fdenom != 0.0, fdenom, 1.0)),
+            0.0,
         )
         trans = (
             (1.0 - F)
@@ -220,7 +235,7 @@ def eval_bxdf(mat, n, i, o):
             * focus
         )
         trans3 = trans[..., None] * mat["tf"]
-        return np.where(same_side[..., None], refl3, trans3)
+        return np.where(from_outside[..., None], refl3, trans3)
     raise ValueError(kind)
 
 
@@ -253,10 +268,11 @@ def sample_value_conductor(mat, n, i):
     value * |cos_o| / pdf = F ks (delta lobe, pdf mass 1)."""
     cos_i = _dot(i, n)
     o = mirror_dir(i, n)
-    if np.ndim(mat["int_ior"]) == 0 and mat["int_ior"] == 0.0:
-        F = np.ones_like(cos_i)
-    else:
-        F = schlick_fresnel(mat["ext_ior"], mat["int_ior"], cos_i)
+    F = np.where(
+        np.asarray(mat["int_ior"]) == 0.0,
+        1.0,
+        schlick_fresnel(mat["ext_ior"], mat["int_ior"], cos_i),
+    )
     val = (F / np.abs(cos_i))[..., None] * mat["ks"]
     return o, np.ones_like(cos_i), val
 
@@ -379,11 +395,11 @@ def indirect_throughput_multiplier(bxdf_value, bxdf_pdf, tint, normal,
 
 def russian_roulette_prob(throughput):
     """Luminance-clamped survival probability (pt_integrator.cl:112-124),
-    Rec.601 luma weights."""
+    Rec.709 luma weights (pt_integrator.cl:116)."""
     lum = (
-        0.299 * throughput[..., 0]
-        + 0.587 * throughput[..., 1]
-        + 0.114 * throughput[..., 2]
+        0.2126 * throughput[..., 0]
+        + 0.7152 * throughput[..., 1]
+        + 0.0722 * throughput[..., 2]
     )
     return np.clip(lum, 0.01, 0.5)
 
