@@ -1,12 +1,21 @@
-"""Minimal OpenEXR (v2) scanline reader/writer.
+"""Self-contained OpenEXR (v2) reader/writer.
 
 The reference loads EXR through OpenImageIO (README.md:19); this image has
-no EXR bindings, so a self-contained decoder covers the common case:
-single-part scanline images, NONE/ZIP/ZIPS compression, HALF or FLOAT
-channels R/G/B(/A/Y), data window == display window.
+no EXR bindings, so a from-scratch codec covers what shows up in the wild:
 
-The writer emits uncompressed FLOAT scanlines (used by tests and for
-dumping HDR render output).
+  * single-part SCANLINE images, NONE / RLE / ZIP / ZIPS / PIZ compression
+  * single-part TILED images (ONE_LEVEL, MIPMAP, RIPMAP — level 0 is read),
+    same compression set
+  * HALF / FLOAT / UINT channels R/G/B(/A/Y), data window == display window
+
+The PIZ codec (bitmap LUT + 2D integer wavelet + canonical Huffman with an
+RLE escape symbol) follows the format as implemented by the OpenEXR
+reference library (ImfPizCompressor / ImfWav / ImfHuf); both directions are
+implemented here so the lossless round-trip is testable without external
+bindings (tests/test_exr.py).
+
+The writer emits FLOAT scanline or tiled images in any supported
+compression (used by tests and for dumping HDR render output).
 """
 
 from __future__ import annotations
@@ -24,12 +33,25 @@ NO_COMPRESSION = 0
 RLE_COMPRESSION = 1
 ZIPS_COMPRESSION = 2  # 1 scanline per chunk
 ZIP_COMPRESSION = 3   # 16 scanlines per chunk
+PIZ_COMPRESSION = 4   # 32 scanlines per chunk
 
 PIXEL_UINT = 0
 PIXEL_HALF = 1
 PIXEL_FLOAT = 2
 
+# tiled level modes
+ONE_LEVEL = 0
+MIPMAP_LEVELS = 1
+RIPMAP_LEVELS = 2
+
 _DTYPE = {PIXEL_HALF: np.float16, PIXEL_FLOAT: np.float32, PIXEL_UINT: np.uint32}
+_LINES_PER_CHUNK = {
+    NO_COMPRESSION: 1,
+    RLE_COMPRESSION: 1,
+    ZIPS_COMPRESSION: 1,
+    ZIP_COMPRESSION: 16,
+    PIZ_COMPRESSION: 32,
+}
 
 
 class ExrError(ValueError):
@@ -72,15 +94,599 @@ def _predictor_apply(data: bytes) -> bytes:
     return bytes(out)
 
 
+# --------------------------------------------------------------------- RLE
+
+
+def _rle_decode(raw: bytes) -> bytearray:
+    """EXR run-length decode (signed count byte: <0 literal run, >=0 repeat
+    of the next byte count+1 times); the zip predictor applies after."""
+    out = bytearray()
+    i = 0
+    n = len(raw)
+    while i < n:
+        cnt = raw[i] - 256 if raw[i] > 127 else raw[i]
+        i += 1
+        if cnt < 0:
+            out += raw[i : i - cnt]
+            i += -cnt
+        else:
+            out += raw[i : i + 1] * (cnt + 1)
+            i += 1
+    return out
+
+
+# --------------------------------------------------------------------- PIZ
+#
+# Format as implemented by the OpenEXR reference library:
+#   chunk = minNonZero u16 | maxNonZero u16 | bitmap[min..max] |
+#           hufLength i32 | huffman data
+# pipeline (decode): huffman -> per-channel 2D integer wavelet decode ->
+# reverse-LUT -> interleave channels per scanline.
+
+_BITMAP_SIZE = 8192  # 65536 values / 8 bits
+_HUF_ENCSIZE = 65537  # 16-bit symbols + the run-length escape
+_HUF_DECBITS = 14
+
+
+def _bitmap_from_data(data: np.ndarray):
+    bitmap = np.zeros(_BITMAP_SIZE, np.uint8)
+    present = np.zeros(65536, bool)
+    present[data] = True
+    present[0] = False  # zero is implicit in the LUT
+    idx = np.nonzero(present)[0]
+    np.bitwise_or.at(bitmap, idx >> 3, (1 << (idx & 7)).astype(np.uint8))
+    return bitmap
+
+
+def _forward_lut(bitmap: np.ndarray):
+    """lut[data_value] -> compact code; returns (lut, maxValue)."""
+    d = np.arange(65536)
+    present = (bitmap[d >> 3] & (1 << (d & 7)).astype(np.uint8)) != 0
+    present[0] = True
+    lut = np.zeros(65536, np.uint16)
+    k = np.cumsum(present) - 1
+    lut[present] = k[present].astype(np.uint16)
+    return lut, int(k[-1])
+
+
+def _reverse_lut(bitmap: np.ndarray):
+    """lut[compact code] -> data value; returns (lut, maxValue)."""
+    d = np.arange(65536)
+    present = (bitmap[d >> 3] & (1 << (d & 7)).astype(np.uint8)) != 0
+    present[0] = True
+    vals = d[present]
+    lut = np.zeros(65536, np.uint16)
+    lut[: len(vals)] = vals.astype(np.uint16)
+    return lut, len(vals) - 1
+
+
+# ----- 2D integer wavelet (ImfWav structure; 14-bit and 16-bit variants)
+
+_NBITS = 16
+_A_OFFSET = 1 << (_NBITS - 1)
+_M_OFFSET = 1 << (_NBITS - 1)
+_MOD_MASK = (1 << _NBITS) - 1
+
+
+def _wenc14(a, b):
+    as_ = a.astype(np.int16).astype(np.int32)
+    bs = b.astype(np.int16).astype(np.int32)
+    m = ((as_ + bs) >> 1).astype(np.int16)
+    d = (as_ - bs).astype(np.int16)
+    return m.astype(np.uint16), d.astype(np.uint16)
+
+
+def _wdec14(l, h):
+    ls = l.astype(np.int16).astype(np.int32)
+    hs = h.astype(np.int16).astype(np.int32)
+    ai = ls + (hs & 1) + (hs >> 1)
+    a = ai.astype(np.int16)
+    b = (a.astype(np.int32) - hs).astype(np.int16)
+    return a.astype(np.uint16), b.astype(np.uint16)
+
+
+def _wenc16(a, b):
+    ao = (a.astype(np.int32) + _A_OFFSET) & _MOD_MASK
+    bi = b.astype(np.int32)
+    m = (ao + bi) >> 1
+    d = ao - bi
+    m = np.where(d < 0, (m + _M_OFFSET) & _MOD_MASK, m)
+    d &= _MOD_MASK
+    return m.astype(np.uint16), d.astype(np.uint16)
+
+
+def _wdec16(l, h):
+    m = l.astype(np.int32)
+    d = h.astype(np.int32)
+    bb = (m - (d >> 1)) & _MOD_MASK
+    aa = (d + bb - _A_OFFSET) & _MOD_MASK
+    return aa.astype(np.uint16), bb.astype(np.uint16)
+
+
+def _wav2_encode(a: np.ndarray, mx: int) -> None:
+    """In-place 2D wavelet encode of a (ny, nx) uint16 array."""
+    enc = _wenc14 if mx < (1 << 14) else _wenc16
+    ny, nx = a.shape
+    n = min(nx, ny)
+    p, p2 = 1, 2
+    while p2 <= n:
+        ys = np.arange(0, ny - p2 + 1, p2)
+        xs = np.arange(0, nx - p2 + 1, p2)
+        if len(ys) and len(xs):
+            q00 = a[np.ix_(ys, xs)]
+            q01 = a[np.ix_(ys, xs + p)]
+            q10 = a[np.ix_(ys + p, xs)]
+            q11 = a[np.ix_(ys + p, xs + p)]
+            i00, i01 = enc(q00, q01)  # horizontal pairs first
+            i10, i11 = enc(q10, q11)
+            r00, r10 = enc(i00, i10)  # then vertical
+            r01, r11 = enc(i01, i11)
+            a[np.ix_(ys, xs)] = r00
+            a[np.ix_(ys, xs + p)] = r01
+            a[np.ix_(ys + p, xs)] = r10
+            a[np.ix_(ys + p, xs + p)] = r11
+        if (nx & p) and len(ys):
+            xe = len(xs) * p2
+            i00, hp = enc(a[ys, xe], a[ys + p, xe])
+            a[ys, xe] = i00
+            a[ys + p, xe] = hp
+        if ny & p:
+            ye = len(ys) * p2
+            if len(xs):
+                i00, hp = enc(a[ye, xs], a[ye, xs + p])
+                a[ye, xs] = i00
+                a[ye, xs + p] = hp
+        p, p2 = p2, p2 << 1
+
+
+def _wav2_decode(a: np.ndarray, mx: int) -> None:
+    """In-place inverse of _wav2_encode."""
+    dec = _wdec14 if mx < (1 << 14) else _wdec16
+    ny, nx = a.shape
+    n = min(nx, ny)
+    p = 1
+    while p <= n:
+        p <<= 1
+    p >>= 1
+    p2 = p
+    p >>= 1
+    while p >= 1:
+        ys = np.arange(0, ny - p2 + 1, p2)
+        xs = np.arange(0, nx - p2 + 1, p2)
+        if len(ys) and len(xs):
+            q00 = a[np.ix_(ys, xs)]
+            q01 = a[np.ix_(ys, xs + p)]
+            q10 = a[np.ix_(ys + p, xs)]
+            q11 = a[np.ix_(ys + p, xs + p)]
+            i00, i10 = dec(q00, q10)  # vertical pairs first
+            i01, i11 = dec(q01, q11)
+            r00, r01 = dec(i00, i01)  # then horizontal
+            r10, r11 = dec(i10, i11)
+            a[np.ix_(ys, xs)] = r00
+            a[np.ix_(ys, xs + p)] = r01
+            a[np.ix_(ys + p, xs)] = r10
+            a[np.ix_(ys + p, xs + p)] = r11
+        if (nx & p) and len(ys):
+            xe = len(xs) * p2
+            i00, hp = dec(a[ys, xe], a[ys + p, xe])
+            a[ys, xe] = i00
+            a[ys + p, xe] = hp
+        if ny & p:
+            ye = len(ys) * p2
+            if len(xs):
+                i00, hp = dec(a[ye, xs], a[ye, xs + p])
+                a[ye, xs] = i00
+                a[ye, xs + p] = hp
+        p2 = p
+        p >>= 1
+
+
+# ----- canonical Huffman with run-length escape (ImfHuf format)
+
+_SHORT_ZEROCODE_RUN = 59
+_LONG_ZEROCODE_RUN = 63
+_SHORTEST_LONG_RUN = 2 + _LONG_ZEROCODE_RUN - _SHORT_ZEROCODE_RUN  # 6
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.c = 0
+        self.lc = 0
+
+    def write(self, nbits: int, val: int):
+        self.c = (self.c << nbits) | val
+        self.lc += nbits
+        while self.lc >= 8:
+            self.lc -= 8
+            self.buf.append((self.c >> self.lc) & 0xFF)
+        self.c &= (1 << self.lc) - 1
+
+    def flush(self):
+        if self.lc:
+            self.buf.append((self.c << (8 - self.lc)) & 0xFF)
+            self.c = 0
+            self.lc = 0
+
+
+def _canonical_codes(lengths: np.ndarray):
+    """hufCanonicalCodeTable: assign canonical codes from code lengths.
+    Returns dict symbol -> (code, length)."""
+    n = np.zeros(59, np.int64)
+    for l in lengths[lengths > 0]:
+        n[l] += 1
+    c = 0
+    for i in range(58, 0, -1):
+        nc = (c + n[i]) >> 1
+        n[i] = c
+        c = nc
+    codes = {}
+    for sym in np.nonzero(lengths)[0]:
+        l = int(lengths[sym])
+        codes[int(sym)] = (int(n[l]), l)
+        n[l] += 1
+    return codes
+
+
+def _huffman_lengths(freq: np.ndarray) -> np.ndarray:
+    """Code lengths for the nonzero-frequency symbols (heap Huffman),
+    clamped to the format's 58-bit maximum via a fixed-length fallback."""
+    import heapq
+
+    syms = np.nonzero(freq)[0]
+    lengths = np.zeros(_HUF_ENCSIZE, np.uint8)
+    if len(syms) == 0:
+        return lengths
+    if len(syms) == 1:
+        lengths[syms[0]] = 1
+        return lengths
+    heap = [(int(freq[s]), int(s), []) for s in syms]
+    # the list in each entry collects the symbols under that subtree
+    heap = [(f, s, [s]) for f, s, _ in heap]
+    heapq.heapify(heap)
+    depth = np.zeros(_HUF_ENCSIZE, np.uint8)
+    while len(heap) > 1:
+        f1, t1, s1 = heapq.heappop(heap)
+        f2, t2, s2 = heapq.heappop(heap)
+        for s in s1 + s2:
+            depth[s] += 1
+        heapq.heappush(heap, (f1 + f2, min(t1, t2), s1 + s2))
+    if depth.max() > 58:
+        fixed = max(1, int(np.ceil(np.log2(len(syms)))))
+        depth[:] = 0
+        depth[syms] = fixed
+    return depth
+
+
+def _pack_enc_table(lengths: np.ndarray, im: int, iM: int, bw: _BitWriter):
+    i = im
+    while i <= iM:
+        l = int(lengths[i])
+        if l == 0:
+            zerun = 1
+            while i < iM and zerun < 255 + _SHORTEST_LONG_RUN:
+                if lengths[i + 1] > 0:
+                    break
+                i += 1
+                zerun += 1
+            if zerun >= 2:
+                if zerun >= _SHORTEST_LONG_RUN:
+                    bw.write(6, _LONG_ZEROCODE_RUN)
+                    bw.write(8, zerun - _SHORTEST_LONG_RUN)
+                else:
+                    bw.write(6, _SHORT_ZEROCODE_RUN + zerun - 2)
+                i += 1
+                continue
+        bw.write(6, l)
+        i += 1
+
+
+def _huf_compress(data: np.ndarray) -> bytes:
+    """data: uint16 array -> ImfHuf-format bytes (20-byte header, packed
+    code-length table, bitstream). The run-length escape symbol is 65536."""
+    n = len(data)
+    if n == 0:
+        return struct.pack("<IIIII", 0, 0, 0, 0, 0)
+    rlc = _HUF_ENCSIZE - 1
+    freq = np.zeros(_HUF_ENCSIZE, np.int64)
+    freq[:65536] = np.bincount(data, minlength=65536)
+    freq[rlc] = 1
+    lengths = _huffman_lengths(freq)
+    nz = np.nonzero(lengths)[0]
+    im, iM = int(nz[0]), int(nz[-1])
+    codes = _canonical_codes(lengths)
+
+    tw = _BitWriter()
+    _pack_enc_table(lengths, im, iM, tw)
+    tw.flush()
+    table = bytes(tw.buf)
+
+    bw = _BitWriter()
+    rl_code, rl_len = codes[rlc]
+    # run-length encode repeats (cap 255 extra copies per run)
+    i = 0
+    nbits = 0
+    while i < n:
+        s = int(data[i])
+        run = 0
+        while i + run + 1 < n and data[i + run + 1] == s and run < 255:
+            run += 1
+        c, l = codes[s]
+        if l + rl_len + 8 < l * (run + 1):
+            bw.write(l, c)
+            bw.write(rl_len, rl_code)
+            bw.write(8, run)
+            nbits += l + rl_len + 8
+        else:
+            for _ in range(run + 1):
+                bw.write(l, c)
+            nbits += l * (run + 1)
+        i += run + 1
+    bw.flush()
+    head = struct.pack("<IIIII", im, iM, len(table), nbits, 0)
+    return head + table + bytes(bw.buf)
+
+
+def _huf_uncompress(raw: bytes, n_out: int) -> np.ndarray:
+    if n_out == 0:
+        return np.zeros(0, np.uint16)
+    im, iM, _tlen, nbits, _ = struct.unpack_from("<IIIII", raw, 0)
+    if iM >= _HUF_ENCSIZE:
+        raise ExrError("corrupt huffman header")
+    pos = 20
+    # unpack the code-length table (6-bit lengths with zero-run escapes)
+    lengths = np.zeros(_HUF_ENCSIZE, np.uint8)
+    c = 0
+    lc = 0
+    i = im
+    while i <= iM:
+        while lc < 6:
+            c = (c << 8) | raw[pos]
+            pos += 1
+            lc += 8
+        l = (c >> (lc - 6)) & 0x3F
+        lc -= 6
+        if l == _LONG_ZEROCODE_RUN:
+            while lc < 8:
+                c = (c << 8) | raw[pos]
+                pos += 1
+                lc += 8
+            i += ((c >> (lc - 8)) & 0xFF) + _SHORTEST_LONG_RUN
+            lc -= 8
+        elif l >= _SHORT_ZEROCODE_RUN:
+            i += l - _SHORT_ZEROCODE_RUN + 2
+        else:
+            lengths[i] = l
+            i += 1
+    # remaining bits of the current byte are padding; data is byte-aligned
+    codes = _canonical_codes(lengths)
+    rlc = iM
+    # 14-bit fast table + dict for long codes
+    fast = [None] * (1 << _HUF_DECBITS)
+    longs: Dict[Tuple[int, int], int] = {}
+    for sym, (code, l) in codes.items():
+        if l <= _HUF_DECBITS:
+            base = code << (_HUF_DECBITS - l)
+            for k in range(1 << (_HUF_DECBITS - l)):
+                fast[base | k] = (sym, l)
+        else:
+            longs[(l, code)] = sym
+
+    out = np.zeros(n_out, np.uint16)
+    oi = 0
+    c = 0
+    lc = 0
+    end = pos + (nbits + 7) // 8
+    mask = (1 << _HUF_DECBITS) - 1
+
+    def emit(sym):
+        nonlocal oi, c, lc, pos
+        if sym == rlc:
+            if lc < 8:
+                c = (c << 8) | raw[pos]
+                pos += 1
+                lc += 8
+            lc -= 8
+            cs = (c >> lc) & 0xFF
+            if oi == 0 or oi + cs > n_out:
+                raise ExrError("corrupt huffman run")
+            out[oi : oi + cs] = out[oi - 1]
+            oi += cs
+        else:
+            out[oi] = sym
+            oi += 1
+
+    while pos < end and oi < n_out:
+        c = (c << 8) | raw[pos]
+        pos += 1
+        lc += 8
+        while lc >= _HUF_DECBITS and oi < n_out:
+            entry = fast[(c >> (lc - _HUF_DECBITS)) & mask]
+            if entry is not None:
+                sym, l = entry
+                lc -= l
+                emit(sym)
+            else:
+                found = False
+                for l in range(_HUF_DECBITS + 1, 59):
+                    while lc < l and pos < end:
+                        c = (c << 8) | raw[pos]
+                        pos += 1
+                        lc += 8
+                    if lc < l:
+                        break
+                    code = (c >> (lc - l)) & ((1 << l) - 1)
+                    sym = longs.get((l, code))
+                    if sym is not None:
+                        lc -= l
+                        emit(sym)
+                        found = True
+                        break
+                if not found:
+                    raise ExrError("corrupt huffman data")
+    # flush the tail bits
+    shift = (8 - nbits) & 7
+    c >>= shift
+    lc -= shift
+    while lc > 0 and oi < n_out:
+        entry = fast[(c << (_HUF_DECBITS - lc)) & mask]
+        if entry is None or entry[1] > lc:
+            raise ExrError("corrupt huffman tail")
+        sym, l = entry
+        lc -= l
+        emit(sym)
+    if oi != n_out:
+        raise ExrError(f"huffman output short: {oi} != {n_out}")
+    return out
+
+
+def _chan_shorts(channels, width: int):
+    """Per-channel u16 count per scanline: HALF = 1 short, FLOAT/UINT = 2."""
+    return [
+        (cname, width * (1 if ptype == PIXEL_HALF else 2))
+        for cname, ptype in channels
+    ]
+
+
+def _piz_uncompress(raw: bytes, chan_sorted, width: int, n_lines: int) -> bytes:
+    (min_nz,) = struct.unpack_from("<H", raw, 0)
+    (max_nz,) = struct.unpack_from("<H", raw, 2)
+    pos = 4
+    bitmap = np.zeros(_BITMAP_SIZE, np.uint8)
+    if min_nz <= max_nz:
+        nb = max_nz - min_nz + 1
+        bitmap[min_nz : max_nz + 1] = np.frombuffer(raw, np.uint8, nb, pos)
+        pos += nb
+    lut, maxv = _reverse_lut(bitmap)
+    (hlen,) = struct.unpack_from("<i", raw, pos)
+    pos += 4
+    shorts = _chan_shorts(chan_sorted, width)
+    total = n_lines * sum(s for _, s in shorts)
+    data = _huf_uncompress(raw[pos : pos + hlen], total)
+    off = 0
+    for _, nx_s in shorts:
+        view = data[off : off + nx_s * n_lines].reshape(n_lines, nx_s)
+        _wav2_decode(view, maxv)
+        off += nx_s * n_lines
+    data = lut[data]
+    # interleave channels per scanline
+    out = bytearray(total * 2)
+    row_shorts = sum(s for _, s in shorts)
+    off = 0
+    dst_col = 0
+    u16 = data.astype("<u2")
+    outv = np.frombuffer(out, dtype="<u2").reshape(n_lines, row_shorts)
+    for _, nx_s in shorts:
+        outv[:, dst_col : dst_col + nx_s] = u16[off : off + nx_s * n_lines].reshape(
+            n_lines, nx_s
+        )
+        dst_col += nx_s
+        off += nx_s * n_lines
+    return bytes(out)
+
+
+def _piz_compress(uncompressed: bytes, chan_sorted, width: int, n_lines: int) -> bytes:
+    shorts = _chan_shorts(chan_sorted, width)
+    row_shorts = sum(s for _, s in shorts)
+    src = np.frombuffer(uncompressed, dtype="<u2").reshape(n_lines, row_shorts)
+    # de-interleave into per-channel planes
+    planes = []
+    col = 0
+    for _, nx_s in shorts:
+        planes.append(src[:, col : col + nx_s].astype(np.uint16))
+        col += nx_s
+    data = np.concatenate([p.reshape(-1) for p in planes])
+    bitmap = _bitmap_from_data(data)
+    lut, maxv = _forward_lut(bitmap)
+    data = lut[data]
+    off = 0
+    for _, nx_s in shorts:
+        view = data[off : off + nx_s * n_lines].reshape(n_lines, nx_s)
+        _wav2_encode(view, maxv)
+        off += nx_s * n_lines
+    huf = _huf_compress(data)
+    nz = np.nonzero(bitmap)[0]
+    if len(nz):
+        min_nz, max_nz = int(nz[0]), int(nz[-1])
+        bm = bitmap[min_nz : max_nz + 1].tobytes()
+    else:
+        min_nz, max_nz = _BITMAP_SIZE - 1, 0  # empty range convention
+        bm = b""
+    return (
+        struct.pack("<HH", min_nz, max_nz)
+        + bm
+        + struct.pack("<i", len(huf))
+        + huf
+    )
+
+
+# ------------------------------------------------------------------ reader
+
+
+def _decode_chunk(raw, chan_sorted, width, n_lines, compression):
+    """Decode one chunk (scanline block or tile) to raw interleaved bytes."""
+    expect = n_lines * sum(
+        width * np.dtype(_DTYPE[t]).itemsize for _, t in chan_sorted
+    )
+    if compression == NO_COMPRESSION or len(raw) >= expect:
+        return raw  # stored uncompressed (or compression didn't shrink)
+    if compression in (ZIP_COMPRESSION, ZIPS_COMPRESSION):
+        return _predictor_undo(bytearray(zlib.decompress(raw)))
+    if compression == RLE_COMPRESSION:
+        return _predictor_undo(_rle_decode(raw))
+    if compression == PIZ_COMPRESSION:
+        return _piz_uncompress(raw, chan_sorted, width, n_lines)
+    raise ExrError(f"unsupported compression {compression}")
+
+
+def _rf(x: float, rnd_up: bool) -> int:
+    import math
+
+    return int(math.ceil(x)) if rnd_up else int(math.floor(x))
+
+
+def _level_size(d: int, l: int, rnd_up: bool) -> int:
+    s = d / (1 << l)
+    return max(1, _rf(s, rnd_up))
+
+
+def _tile_chunk_count(w, h, xs, ys, mode, rnd_up):
+    """Total offset-table entries for a tiled single-part file."""
+    import math
+
+    def nlev(d):
+        return _rf(math.log2(max(1, d)), rnd_up) + 1
+
+    def tiles(lw, lh):
+        return ((lw + xs - 1) // xs) * ((lh + ys - 1) // ys)
+
+    if mode == ONE_LEVEL:
+        return tiles(w, h)
+    if mode == MIPMAP_LEVELS:
+        return sum(
+            tiles(_level_size(w, l, rnd_up), _level_size(h, l, rnd_up))
+            for l in range(nlev(max(w, h)))
+        )
+    if mode == RIPMAP_LEVELS:
+        return sum(
+            tiles(_level_size(w, lx, rnd_up), _level_size(h, ly, rnd_up))
+            for ly in range(nlev(h))
+            for lx in range(nlev(w))
+        )
+    raise ExrError(f"unknown tile level mode {mode}")
+
+
 def read_exr(path: str) -> np.ndarray:
     """Read an EXR image to (H, W, 4) float32 RGBA (missing channels: A=1,
-    Y replicated to RGB)."""
+    Y replicated to RGB). Handles single-part scanline AND tiled images
+    (level 0 of mip/rip-mapped files) in NONE/RLE/ZIP/ZIPS/PIZ compression."""
     with open(path, "rb") as f:
         buf = f.read()
     magic, version = struct.unpack_from("<ii", buf, 0)
     if magic != MAGIC:
         raise ExrError(f"{path}: not an EXR file")
-    if version & 0x200:
+    tiled = bool(version & 0x200)
+    if version & 0x1000:
         raise ExrError(f"{path}: multi-part EXR not supported")
     if version & 0x800:
         raise ExrError(f"{path}: deep data not supported")
@@ -89,6 +695,7 @@ def read_exr(path: str) -> np.ndarray:
     channels: List[Tuple[str, int]] = []
     compression = NO_COMPRESSION
     data_window = None
+    tile_desc = None
     while True:
         name, pos = _read_cstr(buf, pos)
         if name == "":
@@ -109,44 +716,65 @@ def read_exr(path: str) -> np.ndarray:
             compression = val[0]
         elif name == "dataWindow":
             data_window = struct.unpack("<iiii", val)
+        elif name == "tiles":
+            txs, tys, tmode = struct.unpack("<IIB", val)
+            tile_desc = (txs, tys, tmode & 0xF, bool(tmode >> 4))
 
     if data_window is None:
         raise ExrError(f"{path}: missing dataWindow")
     x0, y0, x1, y1 = data_window
     width = x1 - x0 + 1
     height = y1 - y0 + 1
-    if compression not in (NO_COMPRESSION, ZIPS_COMPRESSION, ZIP_COMPRESSION):
+    if compression not in _LINES_PER_CHUNK:
         raise ExrError(f"{path}: unsupported compression {compression}")
-    lines_per_chunk = {NO_COMPRESSION: 1, ZIPS_COMPRESSION: 1, ZIP_COMPRESSION: 16}[
-        compression
-    ]
-    num_chunks = (height + lines_per_chunk - 1) // lines_per_chunk
 
-    # channels are stored alphabetically within a scanline
+    # channels are stored alphabetically within a chunk
     chan_sorted = sorted(channels, key=lambda c: c[0])
-    offsets = struct.unpack_from(f"<{num_chunks}q", buf, pos)
-
     planes: Dict[str, np.ndarray] = {
         c: np.zeros((height, width), np.float32) for c, _ in channels
     }
-    for off in offsets:
-        (y,) = struct.unpack_from("<i", buf, off)
-        (nbytes,) = struct.unpack_from("<i", buf, off + 4)
-        raw = buf[off + 8 : off + 8 + nbytes]
-        n_lines = min(lines_per_chunk, y1 - y + 1)
-        expect = n_lines * sum(
-            width * np.dtype(_DTYPE[t]).itemsize for _, t in channels
-        )
-        if compression != NO_COMPRESSION and nbytes < expect:
-            raw = _predictor_undo(bytearray(zlib.decompress(raw)))
+
+    def fill(raw, cw, ch, px, py):
+        """Scatter one decoded chunk (cw x ch pixels at (px, py)) into the
+        channel planes."""
         cp = 0
-        for line in range(n_lines):
+        for line in range(ch):
             for cname, ptype in chan_sorted:
                 dt = _DTYPE[ptype]
-                nb = width * np.dtype(dt).itemsize
-                vals = np.frombuffer(raw, dtype=dt, count=width, offset=cp)
-                planes[cname][y - y0 + line] = vals.astype(np.float32)
+                nb = cw * np.dtype(dt).itemsize
+                vals = np.frombuffer(raw, dtype=dt, count=cw, offset=cp)
+                planes[cname][py + line, px : px + cw] = vals.astype(np.float32)
                 cp += nb
+
+    if tiled:
+        if tile_desc is None:
+            raise ExrError(f"{path}: tiled flag but no tiles attribute")
+        txs, tys, lmode, rnd_up = tile_desc
+        num_chunks = _tile_chunk_count(width, height, txs, tys, lmode, rnd_up)
+        offsets = struct.unpack_from(f"<{num_chunks}q", buf, pos)
+        for off in offsets:
+            dx, dy, lx, ly, nbytes = struct.unpack_from("<iiiii", buf, off)
+            raw = buf[off + 20 : off + 20 + nbytes]
+            if lx != 0 or ly != 0:
+                continue  # only level 0 (full resolution) is read
+            px, py = dx * txs, dy * tys
+            cw = min(txs, width - px)
+            ch = min(tys, height - py)
+            fill(
+                _decode_chunk(raw, chan_sorted, cw, ch, compression),
+                cw, ch, px, py,
+            )
+    else:
+        lines_per_chunk = _LINES_PER_CHUNK[compression]
+        num_chunks = (height + lines_per_chunk - 1) // lines_per_chunk
+        offsets = struct.unpack_from(f"<{num_chunks}q", buf, pos)
+        for off in offsets:
+            (y,) = struct.unpack_from("<i", buf, off)
+            (nbytes,) = struct.unpack_from("<i", buf, off + 4)
+            raw = buf[off + 8 : off + 8 + nbytes]
+            n_lines = min(lines_per_chunk, y1 - y + 1)
+            raw = _decode_chunk(raw, chan_sorted, width, n_lines, compression)
+            fill(raw, width, n_lines, 0, y - y0)
 
     out = np.zeros((height, width, 4), np.float32)
     out[..., 3] = 1.0
@@ -163,10 +791,102 @@ def read_exr(path: str) -> np.ndarray:
     return out
 
 
-def write_exr(path: str, rgb: np.ndarray) -> None:
-    """Write (H, W, 3) float32 as an uncompressed FLOAT scanline EXR."""
+def write_exr(
+    path: str, rgb: np.ndarray, compression: int = NO_COMPRESSION
+) -> None:
+    """Write (H, W, 3) float32 as a FLOAT scanline EXR in the requested
+    compression (NONE/ZIP/ZIPS/PIZ)."""
     h, w, _ = rgb.shape
+    head = struct.pack("<ii", MAGIC, 2) + _header_bytes(w, h, compression)
+    lines_per_chunk = _LINES_PER_CHUNK[compression]
+    num_chunks = (h + lines_per_chunk - 1) // lines_per_chunk
+    chans = [("B", PIXEL_FLOAT), ("G", PIXEL_FLOAT), ("R", PIXEL_FLOAT)]
+    chunks = []
+    for ci in range(num_chunks):
+        y = ci * lines_per_chunk
+        n_lines = min(lines_per_chunk, h - y)
+        raw = _interleave_rgb(rgb[y : y + n_lines])
+        data = _encode_chunk(raw, chans, w, n_lines, compression)
+        chunks.append(struct.pack("<ii", y, len(data)) + data)
+    data_start = len(head) + 8 * num_chunks
+    offsets = []
+    off = data_start
+    for c in chunks:
+        offsets.append(off)
+        off += len(c)
+    with open(path, "wb") as f:
+        f.write(head)
+        f.write(struct.pack(f"<{num_chunks}q", *offsets))
+        for c in chunks:
+            f.write(c)
 
+
+def write_exr_tiled(
+    path: str,
+    rgb: np.ndarray,
+    tile_size: Tuple[int, int] = (64, 64),
+    compression: int = NO_COMPRESSION,
+) -> None:
+    """Write (H, W, 3) float32 as a single-part TILED (ONE_LEVEL) FLOAT EXR."""
+    h, w, _ = rgb.shape
+    txs, tys = tile_size
+    tiles_attr = struct.pack("<IIB", txs, tys, ONE_LEVEL)
+    head = struct.pack("<ii", MAGIC, 2 | 0x200) + _header_bytes(
+        w, h, compression, tiles_attr
+    )
+    chans = [("B", PIXEL_FLOAT), ("G", PIXEL_FLOAT), ("R", PIXEL_FLOAT)]
+    nx = (w + txs - 1) // txs
+    ny = (h + tys - 1) // tys
+    chunks = []
+    for dy in range(ny):
+        for dx in range(nx):
+            px, py = dx * txs, dy * tys
+            cw = min(txs, w - px)
+            ch = min(tys, h - py)
+            raw = _interleave_rgb(rgb[py : py + ch, px : px + cw])
+            data = _encode_chunk(raw, chans, cw, ch, compression)
+            chunks.append(struct.pack("<iiiii", dx, dy, 0, 0, len(data)) + data)
+    data_start = len(head) + 8 * len(chunks)
+    offsets = []
+    off = data_start
+    for c in chunks:
+        offsets.append(off)
+        off += len(c)
+    with open(path, "wb") as f:
+        f.write(head)
+        f.write(struct.pack(f"<{len(chunks)}q", *offsets))
+        for c in chunks:
+            f.write(c)
+
+
+def _interleave_rgb(block: np.ndarray) -> bytes:
+    """(h, w, 3) float32 -> per-scanline channel-planar bytes (B, G, R —
+    alphabetical, as the format requires)."""
+    out = b""
+    for y in range(block.shape[0]):
+        out += (
+            block[y, :, 2].astype("<f4").tobytes()
+            + block[y, :, 1].astype("<f4").tobytes()
+            + block[y, :, 0].astype("<f4").tobytes()
+        )
+    return out
+
+
+def _encode_chunk(raw: bytes, chan_sorted, width, n_lines, compression) -> bytes:
+    """Compress one chunk; stores raw when compression doesn't shrink (the
+    decoder detects that by size, as the format specifies)."""
+    if compression == NO_COMPRESSION:
+        return raw
+    if compression in (ZIP_COMPRESSION, ZIPS_COMPRESSION):
+        comp = zlib.compress(bytes(_predictor_apply(raw)))
+    elif compression == PIZ_COMPRESSION:
+        comp = _piz_compress(raw, chan_sorted, width, n_lines)
+    else:
+        raise ExrError(f"writer: unsupported compression {compression}")
+    return comp if len(comp) < len(raw) else raw
+
+
+def _header_bytes(w, h, compression, tiles_attr: bytes = None) -> bytes:
     def attr(name: str, typ: str, val: bytes) -> bytes:
         return (
             name.encode() + b"\x00" + typ.encode() + b"\x00"
@@ -180,30 +900,14 @@ def write_exr(path: str, rgb: np.ndarray) -> None:
     box = struct.pack("<iiii", 0, 0, w - 1, h - 1)
     header = (
         attr("channels", "chlist", chan)
-        + attr("compression", "compression", bytes([NO_COMPRESSION]))
+        + attr("compression", "compression", bytes([compression]))
         + attr("dataWindow", "box2i", box)
         + attr("displayWindow", "box2i", box)
         + attr("lineOrder", "lineOrder", b"\x00")
         + attr("pixelAspectRatio", "float", struct.pack("<f", 1.0))
         + attr("screenWindowCenter", "v2f", struct.pack("<ff", 0, 0))
         + attr("screenWindowWidth", "float", struct.pack("<f", 1.0))
-        + b"\x00"
     )
-    head = struct.pack("<ii", MAGIC, 2) + header
-    table_pos = len(head)
-    data_start = table_pos + 8 * h
-    line_bytes = 8 + 3 * 4 * w
-    offsets = [data_start + i * line_bytes for i in range(h)]
-    body = b""
-    for y in range(h):
-        # channels alphabetical: B, G, R
-        line = (
-            rgb[y, :, 2].astype("<f4").tobytes()
-            + rgb[y, :, 1].astype("<f4").tobytes()
-            + rgb[y, :, 0].astype("<f4").tobytes()
-        )
-        body += struct.pack("<ii", y, len(line)) + line
-    with open(path, "wb") as f:
-        f.write(head)
-        f.write(struct.pack(f"<{h}q", *offsets))
-        f.write(body)
+    if tiles_attr is not None:
+        header += attr("tiles", "tiledesc", tiles_attr)
+    return header + b"\x00"

@@ -1,8 +1,11 @@
-"""Minimal EXR codec: round-trip + texture-loader integration."""
+"""EXR codec: scanline/tiled round-trips in every compression (incl. PIZ),
+codec-piece inverse properties, texture-loader integration."""
 
 import numpy as np
+import pytest
 
-from polaris_tpu.asset.exr import read_exr, write_exr
+from polaris_tpu.asset import exr as E
+from polaris_tpu.asset.exr import read_exr, write_exr, write_exr_tiled
 from polaris_tpu.asset.texture import RGBA32F, load_texture
 
 
@@ -75,3 +78,209 @@ def test_exr_zip_compression(tmp_path):
             f.write(c)
     out = read_exr(p)
     np.testing.assert_allclose(out[..., :3], rgb, rtol=1e-6)
+
+
+# ------------------------------------------------- compression round-trips
+
+
+@pytest.mark.parametrize(
+    "compression",
+    [E.NO_COMPRESSION, E.ZIPS_COMPRESSION, E.ZIP_COMPRESSION, E.PIZ_COMPRESSION],
+)
+def test_scanline_roundtrip_all_compressions(tmp_path, compression):
+    """FLOAT data is lossless in every supported compression; 37 rows spans
+    multiple ZIP (16-line) and PIZ (32-line) chunks including short tails."""
+    rs = np.random.RandomState(1)
+    rgb = rs.uniform(0, 50, (37, 23, 3)).astype(np.float32)
+    p = str(tmp_path / f"c{compression}.exr")
+    write_exr(p, rgb, compression=compression)
+    out = read_exr(p)
+    np.testing.assert_array_equal(out[..., :3], rgb)
+
+
+@pytest.mark.parametrize(
+    "compression", [E.NO_COMPRESSION, E.ZIP_COMPRESSION, E.PIZ_COMPRESSION]
+)
+def test_tiled_roundtrip(tmp_path, compression):
+    """Tiled ONE_LEVEL files with non-divisible edge tiles."""
+    rs = np.random.RandomState(2)
+    rgb = rs.uniform(0, 10, (45, 70, 3)).astype(np.float32)
+    p = str(tmp_path / f"t{compression}.exr")
+    write_exr_tiled(p, rgb, tile_size=(32, 16), compression=compression)
+    out = read_exr(p)
+    np.testing.assert_array_equal(out[..., :3], rgb)
+
+
+def test_piz_compresses_smooth_data(tmp_path):
+    """PIZ must actually compress (wavelet+huffman beating raw) on smooth
+    gradients — guards against the store-raw fallback hiding a broken codec."""
+    y, x = np.mgrid[0:64, 0:64].astype(np.float32)
+    rgb = np.stack([y / 64, x / 64, (x + y) / 128], -1)
+    p_raw = str(tmp_path / "raw.exr")
+    p_piz = str(tmp_path / "piz.exr")
+    write_exr(p_raw, rgb, compression=E.NO_COMPRESSION)
+    write_exr(p_piz, rgb, compression=E.PIZ_COMPRESSION)
+    import os
+
+    assert os.path.getsize(p_piz) < 0.7 * os.path.getsize(p_raw)
+    np.testing.assert_array_equal(read_exr(p_piz)[..., :3], rgb)
+
+
+def test_piz_16bit_wavelet_branch(tmp_path):
+    """More than 2^14 distinct u16 values forces the wdec16/wenc16 wavelet
+    variant; the round-trip must stay lossless there too."""
+    # hash-pattern bits so both shorts of every float vary (uniform floats
+    # concentrate the exponent byte and stay under 2^14 distinct shorts)
+    i = np.arange(96 * 96 * 3, dtype=np.uint64)
+    bits = ((i * 2654435761) & 0xFFFFFFFF).astype(np.uint32)
+    rgb = bits.view(np.float32).reshape(96, 96, 3)
+    # sanity: the first 32-scanline chunk really has > 2^14 distinct shorts
+    shorts = np.frombuffer(rgb[:32].tobytes(), np.uint16)
+    assert len(np.unique(shorts)) > (1 << 14)
+    p = str(tmp_path / "w16.exr")
+    write_exr(p, rgb, compression=E.PIZ_COMPRESSION)
+    out = read_exr(p)[..., :3]
+    # bit-exact including NaN payloads: compare the raw u32 views
+    np.testing.assert_array_equal(
+        np.ascontiguousarray(out).view(np.uint32), bits.reshape(96, 96, 3)
+    )
+
+
+def test_tiled_mipmap_level0(tmp_path):
+    """A MIPMAP file: the reader must size the offset table over all levels
+    and decode level (0,0) only. Levels >0 are written as valid chunks."""
+    import struct
+
+    rs = np.random.RandomState(4)
+    rgb = rs.uniform(0, 4, (16, 16, 3)).astype(np.float32)
+    txs = tys = 8
+    tiles_attr = struct.pack("<IIB", txs, tys, E.MIPMAP_LEVELS)  # round down
+    head = struct.pack("<ii", E.MAGIC, 2 | 0x200) + E._header_bytes(
+        16, 16, E.NO_COMPRESSION, tiles_attr
+    )
+    chans = [("B", E.PIXEL_FLOAT), ("G", E.PIXEL_FLOAT), ("R", E.PIXEL_FLOAT)]
+    chunks = []
+    # level sizes (round down): 16, 8, 4, 2, 1
+    for lvl, d in enumerate((16, 8, 4, 2, 1)):
+        img = rgb[:d, :d] if lvl == 0 else np.zeros((d, d, 3), np.float32)
+        n = (d + txs - 1) // txs
+        for dy in range(n):
+            for dx in range(n):
+                cw = min(txs, d - dx * txs)
+                ch = min(tys, d - dy * tys)
+                raw = E._interleave_rgb(
+                    img[dy * tys : dy * tys + ch, dx * txs : dx * txs + cw]
+                )
+                chunks.append(
+                    struct.pack("<iiiii", dx, dy, lvl, lvl, len(raw)) + raw
+                )
+    data_start = len(head) + 8 * len(chunks)
+    offsets, off = [], data_start
+    for c in chunks:
+        offsets.append(off)
+        off += len(c)
+    p = str(tmp_path / "mip.exr")
+    with open(p, "wb") as f:
+        f.write(head)
+        f.write(struct.pack(f"<{len(chunks)}q", *offsets))
+        for c in chunks:
+            f.write(c)
+    np.testing.assert_array_equal(read_exr(p)[..., :3], rgb)
+
+
+def test_rle_scanline(tmp_path):
+    """Hand-built RLE chunk (predictor + signed-count runs)."""
+    import struct
+
+    rgb = np.ones((2, 8, 3), np.float32) * 0.5
+    w, h = 8, 2
+    head = struct.pack("<ii", E.MAGIC, 2) + E._header_bytes(
+        w, h, E.RLE_COMPRESSION
+    )
+    chunks = []
+    for y in range(h):
+        raw = E._interleave_rgb(rgb[y : y + 1])
+        pred = E._predictor_apply(raw)
+        # simple RLE encode: literal/repeat runs
+        out = bytearray()
+        i = 0
+        while i < len(pred):
+            j = i
+            while j + 1 < len(pred) and pred[j + 1] == pred[i] and j - i < 126:
+                j += 1
+            if j > i:  # repeat run
+                out.append(j - i)
+                out.append(pred[i])
+                i = j + 1
+            else:
+                k = i
+                while (
+                    k + 1 < len(pred)
+                    and (k + 2 >= len(pred) or pred[k + 2] != pred[k + 1])
+                    and k - i < 126
+                ):
+                    k += 1
+                n = k - i + 1
+                out.append(256 - n)
+                out += pred[i : k + 1]
+                i = k + 1
+        data = bytes(out) if len(out) < len(raw) else raw
+        chunks.append(struct.pack("<ii", y, len(data)) + data)
+    data_start = len(head) + 8 * h
+    offsets, off = [], data_start
+    for c in chunks:
+        offsets.append(off)
+        off += len(c)
+    p = str(tmp_path / "rle.exr")
+    with open(p, "wb") as f:
+        f.write(head)
+        f.write(struct.pack(f"<{h}q", *offsets))
+        for c in chunks:
+            f.write(c)
+    np.testing.assert_array_equal(read_exr(p)[..., :3], rgb)
+
+
+# ----------------------------------------------------- codec-piece inverses
+
+
+def test_wavelet_inverse_property():
+    rs = np.random.RandomState(5)
+    for shape in ((7, 13), (16, 16), (1, 9), (9, 1), (33, 5)):
+        for mx in (100, 1 << 15):
+            a = rs.randint(0, mx + 1, shape).astype(np.uint16)
+            b = a.copy()
+            E._wav2_encode(b, mx)
+            if a.size > 4 and min(shape) > 1:
+                assert not np.array_equal(a, b)  # it must actually transform
+            E._wav2_decode(b, mx)
+            np.testing.assert_array_equal(a, b)
+
+
+def test_huffman_roundtrip():
+    rs = np.random.RandomState(6)
+    cases = [
+        rs.randint(0, 65536, 5000).astype(np.uint16),       # dense alphabet
+        rs.randint(0, 4, 5000).astype(np.uint16),           # tiny alphabet
+        np.repeat(rs.randint(0, 9, 40), 700).astype(np.uint16),  # long runs
+        np.zeros(1000, np.uint16),
+        np.array([7], np.uint16),
+        np.zeros(0, np.uint16),
+    ]
+    for data in cases:
+        comp = E._huf_compress(data)
+        out = E._huf_uncompress(comp, len(data))
+        np.testing.assert_array_equal(out, data)
+    # long runs must actually engage the RLE escape (beat 1 code/symbol)
+    runs = np.repeat(rs.randint(0, 9, 40), 700).astype(np.uint16)
+    assert len(E._huf_compress(runs)) < 0.1 * len(runs)
+
+
+def test_lut_inverse_property():
+    rs = np.random.RandomState(7)
+    data = rs.randint(0, 65536, 3000).astype(np.uint16)
+    bitmap = E._bitmap_from_data(data)
+    fwd, mx1 = E._forward_lut(bitmap)
+    rev, mx2 = E._reverse_lut(bitmap)
+    assert mx1 == mx2
+    np.testing.assert_array_equal(rev[fwd[data]], data)
+    assert fwd[data].max() == mx1
