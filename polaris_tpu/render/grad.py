@@ -37,9 +37,22 @@ class DifferentiableRenderer(TpuRenderer):
     def _loss_fn(self, opt: RenderOptions):
         key = ("loss", opt.width, opt.height, opt.spp, opt.num_bounces,
                opt.min_bounces_for_rr)
-        if key in self._jit_cache:
-            return self._jit_cache[key]
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(
+                jax.value_and_grad(self._build_loss(opt), argnums=(0, 1))
+            )
+        return self._jit_cache[key]
 
+    def loss_only(self, opt: RenderOptions):
+        """The same loss program jitted WITHOUT the gradient — the forward
+        side of the backward/forward cost ratio (bench_grad.py)."""
+        key = ("lossval", opt.width, opt.height, opt.spp, opt.num_bounces,
+               opt.min_bounces_for_rr)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(self._build_loss(opt))
+        return self._jit_cache[key]
+
+    def _build_loss(self, opt: RenderOptions):
         W, H = opt.width, opt.height
         n = W * H
 
@@ -83,9 +96,7 @@ class DifferentiableRenderer(TpuRenderer):
             )
             return jnp.mean((img - target) ** 2)
 
-        fn = jax.jit(jax.value_and_grad(loss_fn, argnums=(0, 1)))
-        self._jit_cache[key] = fn
-        return fn
+        return loss_fn
 
     def loss_and_grad(
         self,
