@@ -58,8 +58,9 @@ def _add_render_opts(p: argparse.ArgumentParser) -> None:
     p.add_argument("--exposure", type=float, default=1.2)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--mode", default="auto",
-                   choices=["auto", "pallas", "pallas8", "pallas_dense",
-                            "hybrid", "packet", "bvh", "brute"],
+                   choices=["auto", "pallas", "pallas_stream", "pallas_nodes",
+                            "pallas8", "pallas_dense", "hybrid", "packet",
+                            "bvh", "brute"],
                    help="traversal backend")
     p.add_argument("--tiles", type=int, default=0,
                    help="shard image rows over this many devices (0 = single)")
@@ -171,7 +172,16 @@ def cmd_render_progressive(args) -> int:
         exposure=args.exposure, seed=args.seed,
     )
     scene = _load_scene(args.scene)
-    prog = ProgressiveRenderer(scene, opt, mode=args.mode)
+    pool = None
+    if getattr(args, "pool", 0):
+        import jax
+
+        from .parallel.workers import make_device_pool
+
+        pool = make_device_pool(
+            scene, mode=args.mode, devices=jax.devices()[: args.pool]
+        )
+    prog = ProgressiveRenderer(scene, opt, mode=args.mode, pool=pool)
     prog.run(
         target_samples=args.target_spp,
         snapshot_every=args.snapshot_every,

@@ -341,7 +341,9 @@ def make_intersectors(
             # DMA'd on demand (big-scene path)
             mode = "pallas_stream"
         else:
-            mode = "packet"
+            # even the nodes bust SMEM: stream node records from HBM with a
+            # depth-ordered resident prefix (no scene-size ceiling)
+            mode = "pallas_nodes"
 
     if mode == "pallas_stream":
         import jax.numpy as jnp
@@ -358,6 +360,32 @@ def make_intersectors(
 
         def any_hit(S, o, d, maxt, active):
             return intersect_pallas(P, o, d, maxt, active, any_hit=True).mask
+
+        return closest, any_hit
+
+    if mode == "pallas_nodes":
+        import jax.numpy as jnp
+
+        from .intersect_pallas_nodes import (
+            intersect_pallas_nodes,
+            pack_scene_nodes,
+        )
+
+        import os
+
+        res_kb = int(os.environ.get("POLARIS_RESIDENT_KB", "500"))
+        PN = {
+            k: (v if k == "pn_resident" else jnp.asarray(v))
+            for k, v in pack_scene_nodes(
+                scene, resident_bytes=res_kb * 1024
+            ).items()
+        }
+
+        def closest(S, o, d, maxt, active):
+            return intersect_pallas_nodes(PN, o, d, maxt, active, any_hit=False)
+
+        def any_hit(S, o, d, maxt, active):
+            return intersect_pallas_nodes(PN, o, d, maxt, active, any_hit=True).mask
 
         return closest, any_hit
 

@@ -38,10 +38,22 @@ _log = get_logger("progressive renderer")
 
 
 class ProgressiveRenderer:
-    def __init__(self, scene: SceneData, opt: RenderOptions, mode: str = "auto"):
+    def __init__(
+        self,
+        scene: SceneData,
+        opt: RenderOptions,
+        mode: str = "auto",
+        pool=None,
+    ):
+        """``pool``: optional WorkerPoolRenderer — passes render through the
+        feedback-scheduled band workers instead of the single renderer, and
+        /stats then reports the measured per-worker block assignment (the
+        counterpart of the reference's TAB overlay boxes,
+        opengl.go:193-213)."""
         self.scene = scene
         self.opt = opt
-        self.renderer = TpuRenderer(scene, mode=mode)
+        self.pool = pool
+        self.renderer = None if pool is not None else TpuRenderer(scene, mode=mode)
         self.camera = Camera.from_scene(scene, opt.width, opt.height)
         # device-resident accumulator: per-pass traffic over the tunnel is
         # the tonemapped u8 image (0.75 MB at 512^2), not the 3 MB f32 HDR
@@ -64,6 +76,59 @@ class ProgressiveRenderer:
         cam = Camera(**{**self.camera.__dict__})
         cam.move(direction, offset)
         self.update_camera(cam)
+
+    def orbit_camera(self, pitch: float, yaw: float) -> None:
+        """Rotate the look direction about the eye by (pitch, yaw) radians —
+        the reference's left-mouse drag (opengl.go:285-291 sets the deltas,
+        camera.go:98-112 consumes them in Update). Unlike the reference we
+        zero the deltas after applying, so a later move() doesn't silently
+        re-apply the last rotation (docs/parity.md)."""
+        cam = Camera(**{**self.camera.__dict__})
+        cam.pitch = pitch
+        cam.yaw = yaw
+        cam.update()
+        cam.pitch = 0.0
+        cam.yaw = 0.0
+        self.update_camera(cam)
+
+    def set_fov(self, fov_deg: float) -> None:
+        cam = Camera(**{**self.camera.__dict__})
+        cam.fov = float(fov_deg)
+        cam.setup_projection(self.opt.width / self.opt.height)
+        self.update_camera(cam)
+
+    def block_assignment(self) -> list:
+        """Current frame's device/block rows (≙ the TAB overlay's block
+        boxes): measured per-worker bands in pool mode, one full-frame block
+        otherwise."""
+        if self.pool is not None and self.pool.frame_stats is not None:
+            y0 = 0
+            rows = []
+            for w in self.pool.frame_stats.workers:
+                rows.append(
+                    {
+                        "device": w.device_id,
+                        "y0": y0,
+                        "height": w.block_h,
+                        "width": w.block_w,
+                        "render_ms": round(w.render_time_ms, 2),
+                    }
+                )
+                y0 += w.block_h
+            return rows
+        dev = "pool(unscheduled)" if self.pool is not None else str(
+            getattr(self.renderer, "last_device", "device0")
+        )
+        ms = self.pass_history[-1][1] if self.pass_history else 0.0
+        return [
+            {
+                "device": dev,
+                "y0": 0,
+                "height": self.opt.height,
+                "width": self.opt.width,
+                "render_ms": round(ms, 2),
+            }
+        ]
 
     def _commit_changes(self) -> None:
         with self._lock:
@@ -89,9 +154,17 @@ class ProgressiveRenderer:
                 "seed": self.opt.seed,
             }
         )
-        part = self.renderer.render_accum_offset(
-            opt, self.camera, sample_offset=self.accumulated_samples
-        )
+        if self.pool is not None:
+            part = jnp.asarray(
+                self.pool.render_accum(
+                    opt, camera=self.camera,
+                    sample_offset=self.accumulated_samples,
+                )
+            )
+        else:
+            part = self.renderer.render_accum_offset(
+                opt, self.camera, sample_offset=self.accumulated_samples
+            )
         self.accum = self.accum + part  # device add — no HDR fetch
         self.accumulated_samples += opt.spp
         img = TpuRenderer.tonemap_u8(
@@ -167,6 +240,14 @@ def _start_server(prog: ProgressiveRenderer, port: int):
                             {"samples": s_, "ms": ms}
                             for s_, ms in prog.pass_history[-100:]
                         ],
+                        # ≙ the TAB overlay's block-assignment boxes
+                        # (opengl.go:193-213)
+                        "blocks": prog.block_assignment(),
+                        "camera": {
+                            "eye": [float(v) for v in prog.camera.position],
+                            "look_at": [float(v) for v in prog.camera.look_at],
+                            "fov": float(prog.camera.fov),
+                        },
                     }
                 ).encode()
                 self.send_response(200)
@@ -188,12 +269,40 @@ def _start_server(prog: ProgressiveRenderer, port: int):
                 except KeyError:
                     self.send_response(400)
                     self.end_headers()
+            elif self.path.startswith("/orbit"):
+                # look rotation (≙ the GL window's left-mouse drag,
+                # opengl.go:273-291): /orbit?pitch=0.05&yaw=-0.1 (radians)
+                from urllib.parse import parse_qs, urlparse
+
+                q = parse_qs(urlparse(self.path).query)
+                try:
+                    pitch = float(q.get("pitch", ["0"])[0])
+                    yaw = float(q.get("yaw", ["0"])[0])
+                    prog.orbit_camera(pitch, yaw)
+                    self.send_response(204)
+                    self.end_headers()
+                except ValueError:
+                    self.send_response(400)
+                    self.end_headers()
+            elif self.path.startswith("/fov"):
+                from urllib.parse import parse_qs, urlparse
+
+                q = parse_qs(urlparse(self.path).query)
+                try:
+                    prog.set_fov(float(q.get("deg", ["45"])[0]))
+                    self.send_response(204)
+                    self.end_headers()
+                except ValueError:
+                    self.send_response(400)
+                    self.end_headers()
             else:
                 body = (
                     b"<html><head><meta http-equiv=refresh content=1></head>"
                     b"<body style='background:#111;color:#ccc;font-family:monospace'>"
                     b"<img src=/frame.png><p>camera: GET /move?dir="
-                    b"forward|backward|left|right|up|down&amp;step=0.25 &middot; stats: GET /stats</p>"
+                    b"forward|backward|left|right|up|down&amp;step=0.25 &middot; "
+                    b"GET /orbit?pitch=&amp;yaw= (radians) &middot; GET /fov?deg= "
+                    b"&middot; stats+blocks: GET /stats</p>"
                     b"</body></html>"
                 )
                 self.send_response(200)

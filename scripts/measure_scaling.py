@@ -25,6 +25,10 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="force an 8-device virtual CPU mesh")
     ap.add_argument("--scene", default="sphere")
+    ap.add_argument("--out", default="",
+                    help="merge results into this JSON artifact")
+    ap.add_argument("--tag", default="run",
+                    help="key for this run inside --out")
     args = ap.parse_args()
 
     if args.cpu:
@@ -68,7 +72,10 @@ def main():
     base = rays / t1 / 1e6
     print(f"1 device: {t1:.2f}s  {base:.1f} Mrays/s")
 
-    results = {1: base}
+    rows = [
+        {"devices": 1, "seconds": round(t1, 3), "mrays_per_s": round(base, 2),
+         "efficiency_pct": 100.0}
+    ]
     d = 2
     while d <= n_dev:
         mesh = make_mesh(tile=d, sample=1)
@@ -76,11 +83,33 @@ def main():
         td = steady(lambda: rd.render_accum(opt))
         mrays = rays / td / 1e6
         eff = mrays / (base * d) * 100
-        results[d] = mrays
+        rows.append(
+            {"devices": d, "seconds": round(td, 3),
+             "mrays_per_s": round(mrays, 2), "efficiency_pct": round(eff, 1)}
+        )
         print(f"{d} devices (tile mesh): {td:.2f}s  {mrays:.1f} Mrays/s  "
               f"scaling efficiency {eff:.1f}%")
         d *= 2
-    return results
+
+    if args.out:
+        import json
+
+        artifact = {}
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                artifact = json.load(f)
+        artifact[args.tag] = {
+            "device_kind": str(jax.devices()[0].device_kind),
+            "config": {
+                "scene": args.scene, "res": args.res, "spp": args.spp,
+                "bounces": args.bounces,
+            },
+            "rows": rows,
+        }
+        with open(args.out, "w") as f:
+            json.dump(artifact, f, indent=1)
+        print(f"wrote {args.out}[{args.tag}]")
+    return rows
 
 
 if __name__ == "__main__":

@@ -71,6 +71,33 @@ def test_pallas_parity(cornell_scene):
     _compare(cornell_scene, opt, modes=("pallas", "pallas8"))
 
 
+def test_pallas_nodes_matches_smem(cornell_scene, monkeypatch):
+    """The streamed-NODES kernel (big-scene path: depth-ordered resident
+    prefix + HBM record DMA) must produce EXACTLY the in-SMEM kernel's
+    image. Resident prefix forced tiny so nearly every visit streams."""
+    monkeypatch.setenv("POLARIS_RESIDENT_KB", "1")
+    opt = RenderOptions(width=32, height=32, spp=1, num_bounces=2, min_bounces_for_rr=3)
+    smem = np.asarray(TpuRenderer(cornell_scene, mode="pallas").render_accum(opt))
+    nodes = np.asarray(
+        TpuRenderer(cornell_scene, mode="pallas_nodes").render_accum(opt)
+    )
+    np.testing.assert_array_equal(nodes, smem)
+
+
+def test_pallas_nodes_terrain_parity():
+    """A procedural instanced terrain through the streamed-nodes kernel vs
+    the per-lane XLA traversal (both intersection paths are independent)."""
+    from polaris_tpu.asset.compiler.compiler import compile_scene
+    from polaris_tpu.asset.procedural import make_terrain_scene
+
+    scene = compile_scene(make_terrain_scene(grid=32))
+    opt = RenderOptions(width=24, height=24, spp=1, num_bounces=2, min_bounces_for_rr=3)
+    ref = np.asarray(TpuRenderer(scene, mode="bvh").render_accum(opt))
+    got = np.asarray(TpuRenderer(scene, mode="pallas_nodes").render_accum(opt))
+    assert ref.mean() > 0.01  # scene actually renders something
+    np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-3)
+
+
 def test_pallas_stream_matches_smem(cornell_scene):
     """The HBM triangle-streaming kernel (big-scene path: leaves DMA'd into
     SMEM on demand) must produce EXACTLY the in-SMEM kernel's image."""

@@ -69,6 +69,93 @@ def test_http_viewer_and_camera_endpoint(cornell_scene):
         server.shutdown()
 
 
+def test_orbit_endpoint_and_stats_blocks(cornell_scene):
+    """/orbit rotates the look direction about the eye (reference mouse
+    drag, opengl.go:273-291); /stats carries the block-assignment rows (the
+    TAB overlay counterpart) and camera state."""
+    import json
+    import urllib.request
+
+    opt = RenderOptions(width=16, height=16, spp=1, num_bounces=2, min_bounces_for_rr=3)
+    prog = ProgressiveRenderer(cornell_scene, opt, mode="bvh")
+    prog.step()
+    from polaris_tpu.render.progressive import _start_server
+
+    server = _start_server(prog, 0)
+    port = server.server_address[1]
+    try:
+        eye0 = prog.camera.position.copy()
+        look0 = prog.camera.look_at.copy()
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/orbit?pitch=0.0&yaw=0.5"
+        ) as r:
+            assert r.status == 204
+        assert prog._pending_camera is not None
+        cam = prog._pending_camera
+        np.testing.assert_allclose(cam.position, eye0)  # orbit, not move
+        d0 = look0 - eye0
+        d1 = cam.look_at - cam.position
+        # rotation preserves length but changes direction by the yaw angle
+        np.testing.assert_allclose(
+            np.linalg.norm(d1), np.linalg.norm(d0), rtol=1e-5
+        )
+        cosang = np.dot(d0, d1) / (np.linalg.norm(d0) * np.linalg.norm(d1))
+        np.testing.assert_allclose(cosang, np.cos(0.5), atol=1e-5)
+        # applied (and accumulation reset) at the next pass
+        prog.step()
+        assert prog.accumulated_samples == 1
+        # deltas were consumed: a later move must not re-apply the rotation
+        look_after = prog.camera.look_at.copy()
+        prog.move_camera("up", 0.1)
+        cam2 = prog._pending_camera
+        np.testing.assert_allclose(
+            cam2.look_at - cam2.position,
+            look_after - prog.camera.position,
+            atol=1e-6,
+        )
+
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/fov?deg=60") as r:
+            assert r.status == 204
+        assert prog._pending_camera.fov == 60.0
+
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/stats") as r:
+            stats = json.loads(r.read())
+        # pending fov is buffered, not committed yet
+        assert prog.camera.fov != 60.0
+        assert stats["camera"]["fov"] == prog.camera.fov
+        assert len(stats["blocks"]) == 1
+        assert stats["blocks"][0]["height"] == 16
+    finally:
+        server.shutdown()
+
+
+def test_progressive_pool_mode_blocks(cornell_scene):
+    """Progressive rendering through the feedback worker pool: image equals
+    the single-renderer result and /stats blocks are the measured bands."""
+    from polaris_tpu.parallel.workers import BandWorker, WorkerPoolRenderer
+    from polaris_tpu.render.integrator import TpuRenderer
+
+    opt = RenderOptions(width=16, height=64, spp=1, num_bounces=2, min_bounces_for_rr=3)
+    pool = WorkerPoolRenderer(
+        [
+            BandWorker("w0", TpuRenderer(cornell_scene, mode="bvh")),
+            BandWorker("w1", TpuRenderer(cornell_scene, mode="bvh")),
+        ],
+        height_quantum=16,
+    )
+    prog = ProgressiveRenderer(cornell_scene, opt, pool=pool)
+    prog.step()
+    single = ProgressiveRenderer(cornell_scene, opt, mode="bvh")
+    single.step()
+    np.testing.assert_allclose(
+        np.asarray(prog.accum), np.asarray(single.accum), atol=1e-5
+    )
+    blocks = prog.block_assignment()
+    assert [b["device"] for b in blocks] == ["w0", "w1"]
+    assert sum(b["height"] for b in blocks) == 64
+    assert all(b["render_ms"] >= 0 for b in blocks)
+
+
 def test_remote_scene_resource(tmp_path):
     """HTTP-served scene assets (≙ wavefront_test.go httptest servers)."""
     import functools
