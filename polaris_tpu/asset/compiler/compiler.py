@@ -34,7 +34,13 @@ from ..scene_data import AREA_LIGHT, ENVIRONMENT_LIGHT, SceneData
 from ..texture import load_texture
 from . import bvh
 
-MIN_PRIMITIVES_PER_LEAF = 16
+# BLAS leaf size: 16 measured 22% faster than the reference's 10 on
+# incoherent rays (docs/perf.md); env-tunable for A/B sweeps — the Pallas
+# kernels import this as their unroll bound, so kernel and compiler stay
+# consistent within a process
+import os as _os  # noqa: E402
+
+MIN_PRIMITIVES_PER_LEAF = int(_os.environ.get("POLARIS_LEAF_SIZE", "16"))
 SCENE_DIFFUSE_MATERIAL = "scene_diffuse_material"
 SCENE_EMISSIVE_MATERIAL = "scene_emissive_material"
 

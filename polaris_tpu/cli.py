@@ -75,6 +75,40 @@ def _add_render_opts(p: argparse.ArgumentParser) -> None:
     p.add_argument("--debug", default=None,
                    help="render a debug channel: depth|normals|uv|hitmask|"
                         "instance|emissive_vis|throughput|accumulator")
+    p.add_argument("--blacklist", "-b", default=None,
+                   help="skip devices whose names contain this value "
+                        "(≙ reference --blacklist, default.go:243-252)")
+    p.add_argument("--force-primary", default=None,
+                   help="device-name substring to use as the primary "
+                        "(first) device (≙ reference --force-primary, "
+                        "default.go:255-266)")
+
+
+def _select_devices(args):
+    """Device selection with blacklist + primary election (the reference's
+    initTracers policy, default.go:199-292). Returns an ordered list; the
+    first entry is the primary."""
+    import jax
+
+    devices = list(jax.devices())
+    bl = getattr(args, "blacklist", None)
+    if bl:
+        kept = [d for d in devices if bl.lower() not in str(d).lower()]
+        for d in devices:
+            if d not in kept:
+                _log.warning("blacklisting device %s", d)
+        devices = kept
+    if not devices:
+        # ≙ ErrNoTracers (renderer/errors.go:6-9)
+        raise SystemExit("no usable devices after blacklist")
+    fp = getattr(args, "force_primary", None)
+    if fp:
+        match = [d for d in devices if fp.lower() in str(d).lower()]
+        if not match:
+            raise SystemExit(f"no device matches --force-primary {fp!r}")
+        devices = match[:1] + [d for d in devices if d is not match[0]]
+        _log.info("primary device forced to %s", match[0])
+    return devices
 
 
 def cmd_render_frame(args) -> int:
@@ -90,13 +124,14 @@ def cmd_render_frame(args) -> int:
 
     import jax
 
+    devices = _select_devices(args)
     pool = None
     mesh = None
     if args.pool:
         from .parallel.workers import make_device_pool
 
         pool = make_device_pool(
-            scene, mode=args.mode, devices=jax.devices()[: args.pool]
+            scene, mode=args.mode, devices=devices[: args.pool]
         )
         renderer = pool
         _log.info("worker pool over %d devices", args.pool)
@@ -104,7 +139,7 @@ def cmd_render_frame(args) -> int:
         from .parallel.mesh import DistributedRenderer, make_mesh
 
         tiles = args.tiles or 1
-        mesh = make_mesh(tiles, args.sample_shards)
+        mesh = make_mesh(tiles, args.sample_shards, devices=devices)
         renderer = DistributedRenderer(scene, mesh, mode=args.mode)
         _log.info("rendering on mesh %s", dict(mesh.shape))
     else:
@@ -120,7 +155,11 @@ def cmd_render_frame(args) -> int:
         return 0
 
     t0 = time.perf_counter()
-    img = renderer.render(opt)
+    if pool is None and mesh is None:
+        with jax.default_device(devices[0]):
+            img = renderer.render(opt)
+    else:
+        img = renderer.render(opt)
     total_ms = (time.perf_counter() - t0) * 1e3
     _save_png(args.out, img)
 
@@ -149,7 +188,7 @@ def cmd_render_frame(args) -> int:
         else:
             stats.workers.append(
                 WorkerFrameStats(
-                    device_id=str(jax.devices()[0]),
+                    device_id=str(devices[0]),
                     block_w=args.width,
                     block_h=args.height,
                     render_time_ms=getattr(renderer, "last_render_ms", total_ms),
@@ -267,8 +306,14 @@ def cmd_devices(args) -> int:
 
 
 def main(argv=None) -> int:
+    from . import __version__
+
     parser = argparse.ArgumentParser(prog="polaris-tpu")
+    # -v / -vv verbosity levels (≙ main.go:33-38), --version (main.go:23-24)
     parser.add_argument("-v", action="count", default=0, dest="verbosity")
+    parser.add_argument(
+        "--version", action="version", version=f"polaris-tpu {__version__}"
+    )
     sub = parser.add_subparsers(dest="cmd", required=True)
 
     p_render = sub.add_parser("render", help="render commands")

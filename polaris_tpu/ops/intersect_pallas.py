@@ -38,8 +38,11 @@ from .intersect import Hit
 TILE = (8, 128)
 TILE_RAYS = TILE[0] * TILE[1]
 # sub-tiles processed per grid step: amortizes the fixed per-step pipeline
-# overhead (~50us measured) over 16 independent 1024-ray packets
-BLOCK_TILES = 16
+# overhead (~50us measured) over independent 1024-ray packets. Env-tunable
+# for A/B (VMEM per step = ~14 arrays x BLOCK_TILES x 4 KB).
+import os as _os  # noqa: E402
+
+BLOCK_TILES = int(_os.environ.get("POLARIS_BLOCK_TILES", "16"))
 BLOCK_RAYS = BLOCK_TILES * TILE_RAYS
 STACK_SIZE = 64
 # must cover the compiler's largest leaf

@@ -158,3 +158,30 @@ def test_cli_render_mesh_no_fabricated_times(tmp_path, scenes_dir):
     )
     assert r.returncode == 0, r.stderr
     assert "(spmd)" in r.stdout, r.stdout
+
+
+def test_device_selection_blacklist_and_primary():
+    """Blacklist + primary election (≙ initTracers policy,
+    default.go:199-292)."""
+    import argparse
+
+    import pytest
+
+    from polaris_tpu.cli import _select_devices
+
+    ns = argparse.Namespace(blacklist=None, force_primary=None)
+    all_devs = _select_devices(ns)
+    assert len(all_devs) == 8  # the virtual CPU mesh
+
+    ns = argparse.Namespace(blacklist="nomatch", force_primary="cpu_3")
+    devs = _select_devices(ns)
+    assert "3" in str(devs[0])
+    assert len(devs) == 8
+
+    ns = argparse.Namespace(blacklist="cpu", force_primary=None)
+    with pytest.raises(SystemExit):
+        _select_devices(ns)
+
+    ns = argparse.Namespace(blacklist=None, force_primary="gpu999")
+    with pytest.raises(SystemExit):
+        _select_devices(ns)
