@@ -34,13 +34,18 @@ from ..scene_data import AREA_LIGHT, ENVIRONMENT_LIGHT, SceneData
 from ..texture import load_texture
 from . import bvh
 
-# BLAS leaf size: 16 measured 22% faster than the reference's 10 on
-# incoherent rays (docs/perf.md); env-tunable for A/B sweeps — the Pallas
-# kernels import this as their unroll bound, so kernel and compiler stay
-# consistent within a process
+# BLAS leaf size: end-to-end sweep on sphere 512^2@16spp (docs/perf.md):
+# 12 -> 46.1, 16 -> 46.7, 24 -> 48.0, 32 -> 48.5, 48 -> 49.1, 64 -> 49.0
+# Mrays/s — bigger leaves trade inner-node reduction syncs (the structural
+# tax, ~110 ns each) for tier-gated MT vector work the VPU does at ~60% of
+# light. Env-tunable for sweeps; the Pallas kernels import this as their
+# unroll bound, so kernel and compiler stay consistent within a process.
+# NOTE: streamed-leaf DMA windows require MIN_PRIMITIVES_PER_LEAF*12 <=
+# STREAM_ALIGN (1024) so a leaf always fits the 2-window staging buffer.
 import os as _os  # noqa: E402
 
-MIN_PRIMITIVES_PER_LEAF = int(_os.environ.get("POLARIS_LEAF_SIZE", "16"))
+MIN_PRIMITIVES_PER_LEAF = int(_os.environ.get("POLARIS_LEAF_SIZE", "48"))
+assert MIN_PRIMITIVES_PER_LEAF * 12 <= 1024
 SCENE_DIFFUSE_MATERIAL = "scene_diffuse_material"
 SCENE_EMISSIVE_MATERIAL = "scene_emissive_material"
 
