@@ -549,6 +549,22 @@ def _chan_shorts(channels, width: int):
 
 
 def _piz_uncompress(raw: bytes, chan_sorted, width: int, n_lines: int) -> bytes:
+    # the native decoder (~100x the Python Huffman loop) handles production
+    # env-map sizes; tests pin it bit-for-bit against the Python path below
+    try:
+        from ..native import piz_decode_native
+
+        out = piz_decode_native(
+            raw, [s for _, s in _chan_shorts(chan_sorted, width)], n_lines
+        )
+    except Exception:  # toolchain quirks must never break file loading
+        out = None
+    if out is not None:
+        return out.astype("<u2").tobytes()
+    return _piz_uncompress_py(raw, chan_sorted, width, n_lines)
+
+
+def _piz_uncompress_py(raw: bytes, chan_sorted, width: int, n_lines: int) -> bytes:
     (min_nz,) = struct.unpack_from("<H", raw, 0)
     (max_nz,) = struct.unpack_from("<H", raw, 2)
     pos = 4

@@ -24,14 +24,20 @@ _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
 
 
+_SOURCES = ("bvh_builder.cpp", "exr_piz.cpp")
+
+
 def _compile_lib() -> Optional[str]:
-    src = os.path.join(_HERE, "bvh_builder.cpp")
+    srcs = [os.path.join(_HERE, s) for s in _SOURCES]
     out = os.path.join(_HERE, "_libpolaris_native.so")
-    if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
+    if os.path.exists(out) and all(
+        os.path.getmtime(out) >= os.path.getmtime(s) for s in srcs
+    ):
         return out
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", out, src],
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", out]
+            + srcs,
             check=True,
             capture_output=True,
         )
@@ -56,8 +62,32 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 ctypes.c_int, f32p, f32p, f32p, ctypes.c_int,
                 f32p, f32p, i32p, i32p, i32p, i32p, i32p, i32p,
             ]
+            u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+            u16p = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
+            lib.polaris_piz_decode.restype = ctypes.c_int
+            lib.polaris_piz_decode.argtypes = [
+                u8p, ctypes.c_long, i32p, ctypes.c_int, ctypes.c_int, u16p,
+            ]
             _LIB = lib
     return _LIB
+
+
+def piz_decode_native(raw: bytes, chan_shorts, n_lines: int):
+    """Native PIZ chunk decode -> interleaved u16 array, or None when the
+    native library is unavailable (callers fall back to the Python path)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    cs = np.asarray(chan_shorts, np.int32)
+    total = int(cs.sum()) * n_lines
+    out = np.empty(total, np.uint16)
+    buf = np.frombuffer(raw, np.uint8)
+    rc = lib.polaris_piz_decode(
+        np.ascontiguousarray(buf), len(raw), cs, len(cs), n_lines, out
+    )
+    if rc != 0:
+        raise ValueError(f"native PIZ decode failed (code {rc})")
+    return out
 
 
 def build_bvh_native(bboxes_min, bboxes_max, centers, min_leaf_items, leaf_cb):

@@ -50,9 +50,10 @@ from ..asset.compiler.compiler import MIN_PRIMITIVES_PER_LEAF as MAX_LEAF  # noq
 
 # leaf Möller–Trumbore tier width: the unrolled triangle loop runs in
 # `pl.when(rd > c)`-gated tiers of this many triangles, so partially filled
-# leaves (SAH mean fill ~11/16 on sphere.obj) skip whole tiers of vector
-# work instead of masking it lane-wise
-LEAF_TIER = 4
+# leaves skip whole tiers of vector work instead of masking it lane-wise.
+# Env-tunable; sweep at leaf 48 (docs/perf.md): 4 -> 49.07, 8 -> 49.81,
+# 16 -> 49.58 Mrays/s (tier-boundary ref traffic vs masked dead work).
+LEAF_TIER = int(_os.environ.get("POLARIS_LEAF_TIER", "8"))
 
 PHASE_NODE = 0
 PHASE_POP = 1

@@ -284,3 +284,52 @@ def test_lut_inverse_property():
     assert mx1 == mx2
     np.testing.assert_array_equal(rev[fwd[data]], data)
     assert fwd[data].max() == mx1
+
+
+def test_native_piz_decoder_matches_python():
+    """The C++ PIZ decoder (native/exr_piz.cpp) must reproduce the Python
+    decoder bit-for-bit on every chunk shape, including the 16-bit wavelet
+    branch and RLE-heavy data."""
+    from polaris_tpu.native import get_lib, piz_decode_native
+
+    if get_lib() is None:
+        pytest.skip("no native toolchain")
+    rs = np.random.RandomState(8)
+    chans = [("B", E.PIXEL_FLOAT), ("G", E.PIXEL_FLOAT), ("R", E.PIXEL_FLOAT)]
+    cases = [
+        rs.uniform(0, 50, (32, 23, 3)).astype(np.float32),      # generic
+        np.ones((7, 5, 3), np.float32) * 0.25,                  # runs
+        rs.uniform(-1e4, 1e4, (32, 96, 3)).astype(np.float32),  # w16 branch
+    ]
+    for rgb in cases:
+        h, w = rgb.shape[:2]
+        raw = E._interleave_rgb(rgb)
+        comp = E._piz_compress(raw, chans, w, h)
+        py = E._piz_uncompress_py(comp, chans, w, h)
+        nat = piz_decode_native(
+            comp, [s for _, s in E._chan_shorts(chans, w)], h
+        )
+        assert nat is not None
+        assert bytes(py) == nat.astype("<u2").tobytes()
+
+
+def test_native_piz_speed_on_large_map():
+    """A production-size chunk must decode fast natively (the Python loop
+    takes minutes at this size — that's why the native tier exists)."""
+    import time
+
+    from polaris_tpu.native import get_lib, piz_decode_native
+
+    if get_lib() is None:
+        pytest.skip("no native toolchain")
+    rs = np.random.RandomState(9)
+    chans = [("B", E.PIXEL_FLOAT), ("G", E.PIXEL_FLOAT), ("R", E.PIXEL_FLOAT)]
+    y, x = np.mgrid[0:32, 0:2048].astype(np.float32)
+    rgb = np.stack([np.sin(x / 60) + y / 16, x / 2048, y / 32], -1)
+    raw = E._interleave_rgb(rgb)
+    comp = E._piz_compress(raw, chans, 2048, 32)
+    t0 = time.perf_counter()
+    nat = piz_decode_native(comp, [s for _, s in E._chan_shorts(chans, 2048)], 32)
+    dt = time.perf_counter() - t0
+    assert nat is not None and dt < 0.5, dt
+    assert nat.astype("<u2").tobytes() == raw
