@@ -18,40 +18,50 @@ sys.path.insert(0, HERE)
 
 
 def main():
+    import numpy as np
+
     from polaris_tpu.asset.compiler.compiler import compile_scene
     from polaris_tpu.asset.procedural import make_terrain_scene
     from polaris_tpu.render.integrator import TpuRenderer
     from polaris_tpu.render.options import RenderOptions
 
-    t0 = time.time()
-    scene = compile_scene(make_terrain_scene(grid=400))
-    print(
-        f"# terrain: {int(scene.tri_v0.shape[0])} tris, "
-        f"{int(scene.bvh_ldata.shape[0])} nodes, compile {time.time()-t0:.1f}s",
-        file=sys.stderr,
-    )
     results = []
-    for res, spp in ((256, 4), (512, 4)):
+    # (grid, mode, label): 320k tris fits streamed-triangles at leaf 48;
+    # forcing pallas_nodes isolates the node-streaming cost on the same
+    # scene; 819k tris busts the node budget so auto engages pallas_nodes
+    cases = [
+        (400, "auto", "terrain320k_auto"),
+        (400, "pallas_nodes", "terrain320k_nodes"),
+        (640, "auto", "terrain819k_auto"),
+    ]
+    for grid, mode, label in cases:
+        t0 = time.time()
+        scene = compile_scene(make_terrain_scene(grid=grid))
+        print(
+            f"# {label}: {int(scene.tri_v0.shape[0])} tris, "
+            f"{int(scene.bvh_ldata.shape[0])} nodes, "
+            f"compile {time.time()-t0:.1f}s",
+            file=sys.stderr,
+        )
+        res, spp = 512, 4
         opt = RenderOptions(
             width=res, height=res, spp=spp, num_bounces=3, min_bounces_for_rr=4
         )
-        r = TpuRenderer(scene, mode="auto")
+        r = TpuRenderer(scene, mode=mode)
         r.spp_per_launch = 1  # streamed traversal: keep launches short
         t0 = time.time()
-        r.render_u8(opt)  # warmup/compile
-        print(f"# {res}^2 compile+first: {time.time()-t0:.1f}s", file=sys.stderr)
+        img = r.render_u8(opt)  # warmup/compile
+        print(f"# {label} compile+first: {time.time()-t0:.1f}s", file=sys.stderr)
+        assert np.asarray(img).mean() > 1.0  # nonblack
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            img = r.render_u8(opt)
+            r.render_u8(opt)
             best = min(best, time.perf_counter() - t0)
-        import numpy as np
-
-        assert np.asarray(img).mean() > 1.0  # nonblack
         rays = res * res * spp * opt.num_bounces * 2
         results.append(
             {
-                "metric": f"terrain320k_{res}x{res}_{spp}spp_Mrays_per_s",
+                "metric": f"{label}_{res}x{res}_{spp}spp_Mrays_per_s",
                 "value": round(rays / best / 1e6, 2),
                 "unit": "Mrays/s",
                 "frame_s": round(best, 3),
