@@ -333,3 +333,56 @@ def test_native_piz_speed_on_large_map():
     dt = time.perf_counter() - t0
     assert nat is not None and dt < 0.5, dt
     assert nat.astype("<u2").tobytes() == raw
+
+
+def test_piz_half_channels(tmp_path):
+    """HALF channels (1 short/value — the most common EXR pixel type in the
+    wild) through the PIZ pipeline, hand-built file."""
+    import struct
+
+    rs = np.random.RandomState(10)
+    rgb16 = rs.uniform(0, 30, (40, 31, 3)).astype(np.float16)
+    h, w = rgb16.shape[:2]
+
+    def attr(name, typ, val):
+        return (name.encode() + b"\x00" + typ.encode() + b"\x00"
+                + struct.pack("<i", len(val)) + val)
+
+    chan = b""
+    for c in ("B", "G", "R"):
+        chan += c.encode() + b"\x00" + struct.pack("<iiii", E.PIXEL_HALF, 0, 1, 1)
+    chan += b"\x00"
+    box = struct.pack("<iiii", 0, 0, w - 1, h - 1)
+    header = (attr("channels", "chlist", chan)
+              + attr("compression", "compression", bytes([E.PIZ_COMPRESSION]))
+              + attr("dataWindow", "box2i", box)
+              + attr("displayWindow", "box2i", box)
+              + b"\x00")
+    head = struct.pack("<ii", E.MAGIC, 2) + header
+    chans = [("B", E.PIXEL_HALF), ("G", E.PIXEL_HALF), ("R", E.PIXEL_HALF)]
+    chunks = []
+    for y0 in range(0, h, 32):
+        n_lines = min(32, h - y0)
+        raw = b""
+        for y in range(y0, y0 + n_lines):
+            raw += (rgb16[y, :, 2].tobytes() + rgb16[y, :, 1].tobytes()
+                    + rgb16[y, :, 0].tobytes())
+        data = E._piz_compress(raw, chans, w, n_lines)
+        if len(data) >= len(raw):
+            data = raw
+        chunks.append(struct.pack("<ii", y0, len(data)) + data)
+    data_start = len(head) + 8 * len(chunks)
+    offsets, off = [], data_start
+    for c in chunks:
+        offsets.append(off)
+        off += len(c)
+    p = str(tmp_path / "half.exr")
+    with open(p, "wb") as f:
+        f.write(head)
+        f.write(struct.pack(f"<{len(chunks)}q", *offsets))
+        for c in chunks:
+            f.write(c)
+    out = read_exr(p)
+    np.testing.assert_array_equal(
+        out[..., :3].astype(np.float16), rgb16
+    )
