@@ -13,18 +13,18 @@ import numpy as np
 from .input_scene import Camera, Material, Mesh, MeshInstance, RawScene
 
 
-def make_terrain_scene(grid: int = 400, seed: int = 0) -> RawScene:
-    """A sine-ridge heightfield of 2*grid^2 triangles under one area light.
+def make_terrain_scene(grid: int = 400) -> RawScene:
+    """A sine-ridge heightfield of 2*grid^2 triangles under one area light
+    (deterministic — no randomness, so benches are exactly repeatable).
 
-    grid=400 -> 320k triangles: beyond both SMEM ceilings (~150k tris with
-    streamed triangles), so mode='auto' on TPU selects the streamed-nodes
-    kernel.
+    grid=400 -> 320k triangles: past the in-SMEM ceiling, so mode='auto' on
+    TPU streams triangles; grid=640 -> 819k also busts the node budget and
+    engages the streamed-nodes kernel.
     """
     g = grid
     xs = np.linspace(-10, 10, g + 1, dtype=np.float32)
     zs = np.linspace(-10, 10, g + 1, dtype=np.float32)
     X, Z = np.meshgrid(xs, zs, indexing="ij")
-    rng = np.random.default_rng(seed)
     H = (
         0.6 * np.sin(0.9 * X) * np.cos(0.7 * Z)
         + 0.35 * np.sin(2.3 * X + 1.1) * np.sin(1.9 * Z + 0.4)

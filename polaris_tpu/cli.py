@@ -127,6 +127,16 @@ def cmd_render_frame(args) -> int:
     devices = _select_devices(args)
     pool = None
     mesh = None
+    if args.debug:
+        # debug channels are single-device diagnostics; render on the
+        # elected primary regardless of pool/mesh flags
+        from .render.debug import render_debug
+        from .render.integrator import TpuRenderer
+
+        with jax.default_device(devices[0]):
+            img = render_debug(TpuRenderer(scene, mode=args.mode), opt, args.debug)
+        _save_png(args.out, img)
+        return 0
     if args.pool:
         from .parallel.workers import make_device_pool
 
@@ -146,13 +156,6 @@ def cmd_render_frame(args) -> int:
         from .render.integrator import TpuRenderer
 
         renderer = TpuRenderer(scene, mode=args.mode)
-
-    if args.debug:
-        from .render.debug import render_debug
-
-        img = render_debug(renderer, opt, args.debug)
-        _save_png(args.out, img)
-        return 0
 
     t0 = time.perf_counter()
     if pool is None and mesh is None:
@@ -211,22 +214,31 @@ def cmd_render_progressive(args) -> int:
         exposure=args.exposure, seed=args.seed,
     )
     scene = _load_scene(args.scene)
+    devices = _select_devices(args)
     pool = None
     if getattr(args, "pool", 0):
-        import jax
-
         from .parallel.workers import make_device_pool
 
         pool = make_device_pool(
-            scene, mode=args.mode, devices=jax.devices()[: args.pool]
+            scene, mode=args.mode, devices=devices[: args.pool]
         )
     prog = ProgressiveRenderer(scene, opt, mode=args.mode, pool=pool)
-    prog.run(
-        target_samples=args.target_spp,
-        snapshot_every=args.snapshot_every,
-        out=args.out,
-        serve_port=args.serve,
+    import contextlib
+
+    import jax
+
+    # single-renderer path runs pinned to the elected primary device
+    ctx = (
+        jax.default_device(devices[0]) if pool is None
+        else contextlib.nullcontext()
     )
+    with ctx:
+        prog.run(
+            target_samples=args.target_spp,
+            snapshot_every=args.snapshot_every,
+            out=args.out,
+            serve_port=args.serve,
+        )
     return 0
 
 

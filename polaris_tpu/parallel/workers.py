@@ -123,7 +123,7 @@ class WorkerPoolRenderer:
         total_ms = (time.perf_counter() - t0) * 1e3
 
         stats = FrameStats(total_ms=total_ms)
-        for w, blk, (_, ms) in zip(self.workers, blocks, results):
+        for i, (w, blk, (_, ms)) in enumerate(zip(self.workers, blocks, results)):
             stats.workers.append(
                 WorkerFrameStats(
                     device_id=w.name,
@@ -132,9 +132,12 @@ class WorkerPoolRenderer:
                     render_time_ms=ms,
                 )
             )
-            self.perfect.report(
-                self.workers.index(w), blk.block_h, ms
-            )
+            # a worker whose quantized share rounded to 0 rows keeps its
+            # previous measured rate — reporting (0, 0) would peg its rate
+            # at 0.0 and starve it forever (it could only recover through
+            # worker 0's remainder)
+            if blk.block_h > 0:
+                self.perfect.report(i, blk.block_h, ms)
         self.frame_stats = stats.finalize()
         self._frames += 1
         return np.concatenate([band for band, _ in results], axis=0)
@@ -153,9 +156,12 @@ class WorkerPoolRenderer:
 def make_device_pool(scene, mode: str = "auto", devices=None,
                      height_quantum: int = 32) -> WorkerPoolRenderer:
     """One BandWorker per JAX device (each worker's programs pinned to its
-    device) — the pool analog of initTracers (default.go:199-292)."""
+    device) — the pool analog of initTracers (default.go:199-292). Each
+    worker's first-frame share comes from the nominal device-speed prior
+    (≙ the reference's GFlops estimate, device.go:209-222)."""
     import jax
 
+    from ..cli import device_speed
     from ..render.integrator import TpuRenderer
 
     devices = list(devices if devices is not None else jax.devices())
@@ -163,7 +169,8 @@ def make_device_pool(scene, mode: str = "auto", devices=None,
     for d in devices:
         r = TpuRenderer(scene, mode=mode)
         r = _pin_renderer(r, d)
-        workers.append(BandWorker(str(d), r))
+        # unknown device kinds (e.g. CPU) get speed 1.0 -> equal first split
+        workers.append(BandWorker(str(d), r, speed=device_speed(d) or 1.0))
     return WorkerPoolRenderer(workers, height_quantum=height_quantum)
 
 

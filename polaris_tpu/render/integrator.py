@@ -575,8 +575,10 @@ class TpuRenderer:
         *traced* argument: all equal-height bands share one compiled program,
         the way the reference reuses one kernel for any BlockY
         (camera.cl:32, default.go:127-136)."""
-        key = ("band", opt.width, band_h, opt.spp, opt.num_bounces,
-               opt.min_bounces_for_rr)
+        # opt.height is baked into the program (frustum v-interpolation +
+        # RNG pixel ids), so it must key the cache like the other statics
+        key = ("band", opt.width, opt.height, band_h, opt.spp,
+               opt.num_bounces, opt.min_bounces_for_rr)
         if key in self._jit_cache:
             return self._jit_cache[key]
         W = opt.width
@@ -614,6 +616,8 @@ class TpuRenderer:
                     scene_diffuse_mat=self.scene_diffuse_mat,
                     material_depth=self.material_depth,
                     closest_bounce=self.closest_bounce,
+                    compact=self.compact,
+                    unroll=self.sort_rays,
                 )
                 return accum + rad
 
@@ -638,6 +642,25 @@ class TpuRenderer:
     ) -> jnp.ndarray:
         """Render rows [y0, y0+band_h) of the frame; the work unit a
         BlockRequest describes (render/scheduler.py)."""
+        if opt.spp > self.spp_per_launch:
+            # same watchdog chunking as render_accum: one device execution
+            # per spp_per_launch samples (CLAUDE.md: keep executions <30 s)
+            from dataclasses import replace
+
+            total_ms = 0.0
+            accum = None
+            done = 0
+            while done < opt.spp:
+                chunk = min(self.spp_per_launch, opt.spp - done)
+                part = self.render_band_accum(
+                    replace(opt, spp=chunk), y0, band_h, camera=camera,
+                    sample_offset=sample_offset + done,
+                )
+                total_ms += self.last_render_ms
+                accum = part if accum is None else accum + part
+                done += chunk
+            self.last_render_ms = total_ms
+            return accum
         cam = camera or Camera.from_scene(self.scene, opt.width, opt.height)
         fn = self._get_band_fn(opt, band_h)
         with Timer() as t:

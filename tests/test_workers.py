@@ -100,3 +100,52 @@ def test_device_pool_runs_on_virtual_mesh(cornell_scene):
     img = pool.render(opt)
     assert img.shape == (32, 32, 3)
     assert np.isfinite(img).all()
+
+
+def test_zero_height_worker_is_not_starved():
+    """A worker whose quantized share rounds to 0 rows must keep its last
+    measured rate (reporting 0/0 would peg it at rate 0.0 forever)."""
+    # worker 1 is 50x slower: its proportional share of 128 rows (~2.5)
+    # quantizes to 0 after the first measured frame
+    workers = [FakeWorker("fast", FakeRenderer(50.0)),
+               FakeWorker("slow", FakeRenderer(1.0))]
+    pool = WorkerPoolRenderer(workers, height_quantum=32)
+    opt = RenderOptions(width=16, height=128, spp=1, num_bounces=1)
+    for _ in range(5):
+        pool.render_accum(opt)
+    # the slow worker's last MEASURED stats must be retained, not 0/0 —
+    # so if the fast worker degrades, the slow one can win rows back
+    st = pool.perfect.last[1]
+    assert st.block_h > 0 and st.render_time_ms > 0, st
+    workers[0].renderer.speed = 0.5  # fast worker degrades 100x
+    for _ in range(3):
+        pool.render_accum(opt)
+    heights = pool.schedule(opt.height)
+    assert heights[1] > 0, heights  # recovered rows
+
+
+def test_band_jit_cache_keys_frame_height(cornell_scene):
+    """Same (width, band_h) at two frame heights must not share a program
+    (frame height is baked into frustum interpolation + RNG pixel ids)."""
+    r = TpuRenderer(cornell_scene, mode="bvh")
+    opt64 = RenderOptions(width=16, height=64, spp=1, num_bounces=2, min_bounces_for_rr=3)
+    opt32 = RenderOptions(width=16, height=32, spp=1, num_bounces=2, min_bounces_for_rr=3)
+    band64 = np.asarray(r.render_band_accum(opt64, 16, 16))
+    band32 = np.asarray(r.render_band_accum(opt32, 16, 16))
+    full64 = np.asarray(TpuRenderer(cornell_scene, mode="bvh").render_accum(opt64))
+    full32 = np.asarray(TpuRenderer(cornell_scene, mode="bvh").render_accum(opt32))
+    np.testing.assert_array_equal(band64, full64[16:32])
+    np.testing.assert_array_equal(band32, full32[16:32])
+
+
+def test_band_spp_chunking_matches_single_launch(cornell_scene):
+    """Band renders must chunk spp by spp_per_launch (watchdog) and stay
+    bit-identical to an unchunked band."""
+    opt = RenderOptions(width=16, height=32, spp=6, num_bounces=2, min_bounces_for_rr=3)
+    r1 = TpuRenderer(cornell_scene, mode="bvh")
+    r1.spp_per_launch = 2
+    chunked = np.asarray(r1.render_band_accum(opt, 8, 16))
+    r2 = TpuRenderer(cornell_scene, mode="bvh")
+    r2.spp_per_launch = 99
+    whole = np.asarray(r2.render_band_accum(opt, 8, 16))
+    np.testing.assert_allclose(chunked, whole, atol=1e-5)
