@@ -75,6 +75,12 @@ def _add_render_opts(p: argparse.ArgumentParser) -> None:
     p.add_argument("--debug", default=None,
                    help="render a debug channel: depth|normals|uv|hitmask|"
                         "instance|emissive_vis|throughput|accumulator")
+    p.add_argument("--rr-tile-coherent", action="store_true",
+                   help="draw the Russian-roulette uniform per 32x32 block "
+                        "instead of per lane: unbiased, no measured variance "
+                        "penalty, and blocks die atomically so late-bounce "
+                        "traversal skips whole tiles (+5.6%% on cornell@64spp;"
+                        " see docs/perf.md)")
     p.add_argument("--blacklist", "-b", default=None,
                    help="skip devices whose names contain this value "
                         "(≙ reference --blacklist, default.go:243-252)")
@@ -119,6 +125,7 @@ def cmd_render_frame(args) -> int:
         width=args.width, height=args.height, spp=args.spp,
         num_bounces=args.num_bounces, min_bounces_for_rr=args.rr_bounces,
         exposure=args.exposure, seed=args.seed,
+        rr_tile_coherent=args.rr_tile_coherent,
     )
     scene = _load_scene(args.scene)
 
@@ -212,6 +219,7 @@ def cmd_render_progressive(args) -> int:
         width=args.width, height=args.height, spp=max(1, args.spp),
         num_bounces=args.num_bounces, min_bounces_for_rr=args.rr_bounces,
         exposure=args.exposure, seed=args.seed,
+        rr_tile_coherent=args.rr_tile_coherent,
     )
     scene = _load_scene(args.scene)
     devices = _select_devices(args)

@@ -150,6 +150,9 @@ class CpuRenderer:
         n = W * H
         ys, xs = np.divmod(np.arange(n, dtype=np.uint32), np.uint32(W))
         pixel_idx = np.arange(n, dtype=np.uint32)
+        rr_key = (
+            rng.rr_block_key(np, pixel_idx, W) if opt.rr_tile_coherent else None
+        )
         accum = np.zeros((n, 3), np.float32)
         num_emissives = int(sc.emis_area.shape[0])
 
@@ -175,7 +178,9 @@ class CpuRenderer:
                         np, self.S, ray_d, throughput, b == 0, sc.scene_diffuse_mat
                     )
                     accum[miss] += bg[miss]
-                U = rng.make_uniform(rng.np_uniform, opt.seed, pixel_idx, s, b)
+                U = rng.make_uniform(
+                    rng.np_uniform, opt.seed, pixel_idx, s, b, rr_key=rr_key
+                )
                 out = shade(
                     np,
                     self.S,

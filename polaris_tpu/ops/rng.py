@@ -92,17 +92,34 @@ def jnp_uniform(*parts):
     return (bits >> 8).astype(jnp.float32) * jnp.float32(1.0 / 16777216.0)
 
 
-def make_uniform(uniform_fn, seed, pixel_idx, sample_idx, bounce):
+def make_uniform(uniform_fn, seed, pixel_idx, sample_idx, bounce, rr_key=None):
     """Bind the per-draw counter layout into a stream closure.
 
     Layout: uniform(seed, pixel, sample, bounce*64 + stream). Both renderers
     MUST build their closures through this function so streams line up.
+
+    ``rr_key``: optional alternative key array for the STREAM_RR draw only —
+    tile-coherent Russian roulette (RenderOptions.rr_tile_coherent) keys the
+    survival uniform by 32x32 block id instead of pixel id so blocks die
+    atomically. All other streams always key by pixel.
     """
 
     def U(stream):
-        return uniform_fn(seed, pixel_idx, sample_idx, bounce * 64 + stream)
+        key = pixel_idx
+        if rr_key is not None and stream == STREAM_RR:
+            key = rr_key
+        return uniform_fn(seed, key, sample_idx, bounce * 64 + stream)
 
     return U
+
+
+def rr_block_key(xp, pixel_idx, width: int):
+    """32x32-block id of each full-frame pixel id (tile-coherent RR key)."""
+    pix = pixel_idx.astype(xp.uint32)
+    x = pix % xp.uint32(width)
+    y = pix // xp.uint32(width)
+    nbx = xp.uint32((width + 31) // 32)
+    return (y // xp.uint32(32)) * nbx + (x // xp.uint32(32))
 
 
 # Stream ids: each logical draw site gets a fixed stream so draw order never

@@ -114,6 +114,7 @@ class DistributedRenderer:
                 num_emissives=self.num_emissives,
                 scene_diffuse_mat=self.scene_diffuse_mat,
                 material_depth=self.material_depth,
+                rr_tile_coherent=opt.rr_tile_coherent,
             )
             return accum + rad
 
@@ -127,7 +128,8 @@ class DistributedRenderer:
         return accum.reshape(rows, W, 3)
 
     def _get_render_fn(self, opt: RenderOptions):
-        key = (opt.width, opt.height, opt.spp, opt.num_bounces, opt.min_bounces_for_rr)
+        key = (opt.width, opt.height, opt.spp, opt.num_bounces,
+               opt.min_bounces_for_rr, opt.rr_tile_coherent)
         if key in self._jit_cache:
             return self._jit_cache[key]
         assert opt.height % self.mesh.shape["tile"] == 0, "rows must divide"

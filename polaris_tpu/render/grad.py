@@ -36,7 +36,7 @@ class DifferentiableRenderer(TpuRenderer):
 
     def _loss_fn(self, opt: RenderOptions):
         key = ("loss", opt.width, opt.height, opt.spp, opt.num_bounces,
-               opt.min_bounces_for_rr)
+               opt.min_bounces_for_rr, opt.rr_tile_coherent)
         if key not in self._jit_cache:
             self._jit_cache[key] = jax.jit(
                 jax.value_and_grad(self._build_loss(opt), argnums=(0, 1))
@@ -47,7 +47,7 @@ class DifferentiableRenderer(TpuRenderer):
         """The same loss program jitted WITHOUT the gradient — the forward
         side of the backward/forward cost ratio (bench_grad.py)."""
         key = ("lossval", opt.width, opt.height, opt.spp, opt.num_bounces,
-               opt.min_bounces_for_rr)
+               opt.min_bounces_for_rr, opt.rr_tile_coherent)
         if key not in self._jit_cache:
             self._jit_cache[key] = jax.jit(self._build_loss(opt))
         return self._jit_cache[key]
@@ -81,6 +81,7 @@ class DifferentiableRenderer(TpuRenderer):
                     num_emissives=self.num_emissives,
                     scene_diffuse_mat=self.scene_diffuse_mat,
                     material_depth=self.material_depth,
+                    rr_tile_coherent=opt.rr_tile_coherent,
                 )
                 return accum + rad
 

@@ -213,6 +213,7 @@ def render_sample_block(
     closest_bounce=None,
     compact: bool = False,
     unroll: bool = False,
+    rr_tile_coherent: bool = False,
 ):
     """Trace ONE sample for a block of pixels; returns radiance [N, 3].
 
@@ -266,7 +267,12 @@ def render_sample_block(
             miss = alive & (~hit.mask)
             bg = shade_miss(jnp, S, ray_d, throughput, b == 0, scene_diffuse_mat)
             radiance = radiance + jnp.where(miss[..., None], bg, 0.0)
-        U = rng.make_uniform(rng.jnp_uniform, seed, pix, sample_idx, b)
+        rr_key = (
+            rng.rr_block_key(jnp, pix, width) if rr_tile_coherent else None
+        )
+        U = rng.make_uniform(
+            rng.jnp_uniform, seed, pix, sample_idx, b, rr_key=rr_key
+        )
         out = shade(
             jnp,
             S,
@@ -403,7 +409,8 @@ class TpuRenderer:
     # ----- jit plumbing -----
 
     def _get_render_fn(self, opt: RenderOptions):
-        key = (opt.width, opt.height, opt.spp, opt.num_bounces, opt.min_bounces_for_rr)
+        key = (opt.width, opt.height, opt.spp, opt.num_bounces,
+               opt.min_bounces_for_rr, opt.rr_tile_coherent)
         if key in self._jit_cache:
             return self._jit_cache[key]
 
@@ -452,6 +459,7 @@ class TpuRenderer:
                     scene_diffuse_mat=self.scene_diffuse_mat,
                     material_depth=self.material_depth,
                     closest_bounce=self.closest_bounce,
+                    rr_tile_coherent=opt.rr_tile_coherent,
                     compact=self.compact,
                     unroll=self.sort_rays,
                 )
@@ -493,6 +501,7 @@ class TpuRenderer:
                     scene_diffuse_mat=self.scene_diffuse_mat,
                     material_depth=self.material_depth,
                     closest_bounce=self.closest_bounce,
+                    rr_tile_coherent=opt.rr_tile_coherent,
                     compact=self.compact,
                     unroll=self.sort_rays,
                 )
@@ -578,7 +587,7 @@ class TpuRenderer:
         # opt.height is baked into the program (frustum v-interpolation +
         # RNG pixel ids), so it must key the cache like the other statics
         key = ("band", opt.width, opt.height, band_h, opt.spp,
-               opt.num_bounces, opt.min_bounces_for_rr)
+               opt.num_bounces, opt.min_bounces_for_rr, opt.rr_tile_coherent)
         if key in self._jit_cache:
             return self._jit_cache[key]
         W = opt.width
@@ -616,6 +625,7 @@ class TpuRenderer:
                     scene_diffuse_mat=self.scene_diffuse_mat,
                     material_depth=self.material_depth,
                     closest_bounce=self.closest_bounce,
+                    rr_tile_coherent=opt.rr_tile_coherent,
                     compact=self.compact,
                     unroll=self.sort_rays,
                 )

@@ -114,3 +114,21 @@ def test_image_nonblack(cornell_scene):
     img = TpuRenderer(cornell_scene, mode="bvh").render(opt)
     assert img.mean() > 0.05
     assert img.max() <= 1.0
+
+
+def test_tile_coherent_rr_parity(cornell_scene):
+    """Tile-coherent Russian roulette (rr_tile_coherent): blocks draw one
+    survival uniform, lanes keep their own survival probability and boost —
+    unbiased, and the oracle (which shares shade() and the RNG layout) must
+    agree exactly. Also checks it actually changes the RR pattern."""
+    opt = RenderOptions(
+        width=32, height=32, spp=2, num_bounces=4, min_bounces_for_rr=1,
+        rr_tile_coherent=True,
+    )
+    _compare(cornell_scene, opt, modes=("bvh", "pallas"))
+    base = RenderOptions(
+        width=32, height=32, spp=2, num_bounces=4, min_bounces_for_rr=1,
+    )
+    a = np.asarray(TpuRenderer(cornell_scene, mode="bvh").render_accum(base))
+    b = np.asarray(TpuRenderer(cornell_scene, mode="bvh").render_accum(opt))
+    assert not np.array_equal(a, b)  # the mode is live, not a no-op
