@@ -49,6 +49,15 @@ class Camera:
         cam.setup_projection(width / height)
         return cam
 
+    def clone(self) -> "Camera":
+        """Deep-copy the array fields so edits to the clone can never alias
+        the live camera's state (the progressive viewer clones before
+        buffering a pending camera change)."""
+        c = Camera(**{**self.__dict__})
+        for f in ("position", "look_at", "up", "proj", "view", "frustum"):
+            setattr(c, f, np.array(getattr(self, f), np.float32))
+        return c
+
     def setup_projection(self, aspect: float) -> None:
         """(ref: camera.go:68-71)"""
         self.proj = T.perspective(self.fov, aspect, 1.0, 1000.0)

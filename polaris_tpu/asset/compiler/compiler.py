@@ -45,7 +45,11 @@ from . import bvh
 import os as _os  # noqa: E402
 
 MIN_PRIMITIVES_PER_LEAF = int(_os.environ.get("POLARIS_LEAF_SIZE", "48"))
-assert MIN_PRIMITIVES_PER_LEAF * 12 <= 1024
+if MIN_PRIMITIVES_PER_LEAF * 12 > 1024:  # holds under `python -O` too
+    raise ValueError(
+        f"POLARIS_LEAF_SIZE={MIN_PRIMITIVES_PER_LEAF} exceeds the streamed-"
+        f"leaf DMA window (need leaf*12 <= 1024)"
+    )
 SCENE_DIFFUSE_MATERIAL = "scene_diffuse_material"
 SCENE_EMISSIVE_MATERIAL = "scene_emissive_material"
 

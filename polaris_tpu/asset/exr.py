@@ -3,10 +3,13 @@
 The reference loads EXR through OpenImageIO (README.md:19); this image has
 no EXR bindings, so a from-scratch codec covers what shows up in the wild:
 
-  * single-part SCANLINE images, NONE / RLE / ZIP / ZIPS / PIZ compression
+  * single-part SCANLINE images: NONE / RLE / ZIP / ZIPS / PIZ / B44 / B44A
   * single-part TILED images (ONE_LEVEL, MIPMAP, RIPMAP — level 0 is read),
     same compression set
-  * HALF / FLOAT / UINT channels R/G/B(/A/Y), data window == display window
+  * HALF / FLOAT / UINT channels R/G/B(/A/Y)
+  * crop windows (dataWindow != displayWindow): the returned image is the
+    display window with data-window pixels composed in, zero elsewhere
+  * graceful ExrError for the exotic tail: PXR24/DWAA/DWAB, multi-part, deep
 
 The PIZ codec (bitmap LUT + 2D integer wavelet + canonical Huffman with an
 RLE escape symbol) follows the format as implemented by the OpenEXR
@@ -34,6 +37,11 @@ RLE_COMPRESSION = 1
 ZIPS_COMPRESSION = 2  # 1 scanline per chunk
 ZIP_COMPRESSION = 3   # 16 scanlines per chunk
 PIZ_COMPRESSION = 4   # 32 scanlines per chunk
+PXR24_COMPRESSION = 5
+B44_COMPRESSION = 6   # 32 scanlines per chunk, HALF 4x4 blocks -> 14 bytes
+B44A_COMPRESSION = 7  # B44 + 3-byte flat blocks
+DWAA_COMPRESSION = 8
+DWAB_COMPRESSION = 9
 
 PIXEL_UINT = 0
 PIXEL_HALF = 1
@@ -51,6 +59,8 @@ _LINES_PER_CHUNK = {
     ZIPS_COMPRESSION: 1,
     ZIP_COMPRESSION: 16,
     PIZ_COMPRESSION: 32,
+    B44_COMPRESSION: 32,
+    B44A_COMPRESSION: 32,
 }
 
 
@@ -557,7 +567,11 @@ def _piz_uncompress(raw: bytes, chan_sorted, width: int, n_lines: int) -> bytes:
         out = piz_decode_native(
             raw, [s for _, s in _chan_shorts(chan_sorted, width)], n_lines
         )
-    except Exception:  # toolchain quirks must never break file loading
+    except (ImportError, OSError):
+        # toolchain quirks (no g++, dlopen failure) must never break file
+        # loading — but a genuine decode failure (rc != 0 ValueError) must
+        # propagate: the Python path would fail on the same corrupt chunk,
+        # ~100x slower, and silently masking it hides native regressions
         out = None
     if out is not None:
         return out.astype("<u2").tobytes()
@@ -639,6 +653,100 @@ def _piz_compress(uncompressed: bytes, chan_sorted, width: int, n_lines: int) ->
 # ------------------------------------------------------------------ reader
 
 
+# ---------------------------------------------------------------------------
+# B44 / B44A (format per the OpenEXR spec's ImfB44Compressor: each HALF
+# channel is split into 4x4 blocks; a block is 14 bytes — a 16-bit base
+# value, a 6-bit shift and fifteen 6-bit biased running differences — or, in
+# B44A files, 3 bytes (marker b[2] == 0xfc) for a constant block. Non-HALF
+# channels are stored raw. Decoders validated bit-for-bit against files
+# written by the official libOpenEXR, tests/fixtures/b44_*.exr.)
+
+# the running-difference chain order: entry k updates s[_B44_TO[k]] from
+# s[_B44_FROM[k]] (first down column 0 of the 4x4 block, then across rows)
+_B44_TO = (4, 8, 12, 1, 5, 9, 13, 2, 6, 10, 14, 3, 7, 11, 15)
+_B44_FROM = (0, 4, 8, 0, 4, 8, 12, 1, 5, 9, 13, 2, 6, 10, 14)
+
+
+def _b44_unpack14(blocks: np.ndarray) -> np.ndarray:
+    """Vectorized 14-byte block decode: (K, 14) uint16 bytes -> (K, 16)
+    uint16 halfs (before the sign/complement undo)."""
+    b = blocks.astype(np.uint32)
+    s = np.zeros((blocks.shape[0], 16), np.uint32)
+    s[:, 0] = (b[:, 0] << 8) | b[:, 1]
+    # bytes 2..13 hold sixteen consecutive 6-bit fields (MSB first):
+    # the shift, then the 15 biased running differences
+    bits = np.unpackbits(blocks[:, 2:].astype(np.uint8), axis=1)
+    fields = bits.reshape(blocks.shape[0], 16, 6) @ np.array(
+        [32, 16, 8, 4, 2, 1], np.uint32
+    )
+    shift = fields[:, 0]
+    bias = np.uint32(0x20) << shift
+    r = fields[:, 1:]
+    for k, (dst, src) in enumerate(zip(_B44_TO, _B44_FROM)):
+        s[:, dst] = (s[:, src] + (r[:, k] << shift) - bias) & 0xFFFF
+    return s.astype(np.uint16)
+
+
+def _b44_sign_undo(s: np.ndarray) -> np.ndarray:
+    """Invert the encoder's order-preserving transform: values with the top
+    bit set were non-negative halfs (bit cleared restores them); values with
+    it clear were negative/NaN halfs stored complemented."""
+    return np.where(s & 0x8000, s & 0x7FFF, ~s).astype(np.uint16)
+
+
+def _b44_uncompress(
+    raw: bytes, chan_sorted, width: int, n_lines: int, may_flat: bool
+) -> bytes:
+    data = np.frombuffer(raw, np.uint8)
+    pos = 0
+    nbx = (width + 3) // 4
+    nby = (n_lines + 3) // 4
+    planes = []
+    for cname, ptype in chan_sorted:
+        if ptype != PIXEL_HALF:
+            nb = width * n_lines * np.dtype(_DTYPE[ptype]).itemsize
+            planes.append(
+                np.frombuffer(raw, np.uint8, nb, pos).reshape(n_lines, -1)
+            )
+            pos += nb
+            continue
+        nblocks = nbx * nby
+        if not may_flat:
+            # plain B44: every block is 14 bytes — one vectorized unpack
+            blk = data[pos : pos + 14 * nblocks].reshape(nblocks, 14)
+            s = _b44_unpack14(blk)
+            pos += 14 * nblocks
+        else:
+            # B44A: 3-byte constant blocks interleave, so walk sequentially
+            # (collecting the dense blocks for one vectorized unpack)
+            s = np.zeros((nblocks, 16), np.uint16)
+            dense_idx = []
+            dense_off = []
+            for k in range(nblocks):
+                if data[pos + 2] == 0xFC:  # constant block (B44A)
+                    t0 = (int(data[pos]) << 8) | int(data[pos + 1])
+                    s[k] = t0
+                    pos += 3
+                else:
+                    dense_idx.append(k)
+                    dense_off.append(pos)
+                    pos += 14
+            if dense_idx:
+                off = np.asarray(dense_off)[:, None] + np.arange(14)
+                s[np.asarray(dense_idx)] = _b44_unpack14(data[off])
+        s = _b44_sign_undo(s)
+        # s[row*4+col] lays out the 4x4 block row-major
+        blocks4 = s.reshape(nby, nbx, 4, 4)
+        grid = blocks4.transpose(0, 2, 1, 3).reshape(nby * 4, nbx * 4)
+        planes.append(grid[:n_lines, :width].view(np.uint16))
+    # interleave to the per-line channel-major layout fill() expects
+    out = bytearray()
+    for line in range(n_lines):
+        for p in planes:
+            out += p[line].tobytes()
+    return bytes(out)
+
+
 def _decode_chunk(raw, chan_sorted, width, n_lines, compression):
     """Decode one chunk (scanline block or tile) to raw interleaved bytes."""
     expect = n_lines * sum(
@@ -652,6 +760,11 @@ def _decode_chunk(raw, chan_sorted, width, n_lines, compression):
         return _predictor_undo(_rle_decode(raw))
     if compression == PIZ_COMPRESSION:
         return _piz_uncompress(raw, chan_sorted, width, n_lines)
+    if compression in (B44_COMPRESSION, B44A_COMPRESSION):
+        return _b44_uncompress(
+            raw, chan_sorted, width, n_lines,
+            may_flat=compression == B44A_COMPRESSION,
+        )
     raise ExrError(f"unsupported compression {compression}")
 
 
@@ -711,6 +824,7 @@ def read_exr(path: str) -> np.ndarray:
     channels: List[Tuple[str, int]] = []
     compression = NO_COMPRESSION
     data_window = None
+    display_window = None
     tile_desc = None
     while True:
         name, pos = _read_cstr(buf, pos)
@@ -732,6 +846,8 @@ def read_exr(path: str) -> np.ndarray:
             compression = val[0]
         elif name == "dataWindow":
             data_window = struct.unpack("<iiii", val)
+        elif name == "displayWindow":
+            display_window = struct.unpack("<iiii", val)
         elif name == "tiles":
             txs, tys, tmode = struct.unpack("<IIB", val)
             tile_desc = (txs, tys, tmode & 0xF, bool(tmode >> 4))
@@ -742,7 +858,15 @@ def read_exr(path: str) -> np.ndarray:
     width = x1 - x0 + 1
     height = y1 - y0 + 1
     if compression not in _LINES_PER_CHUNK:
-        raise ExrError(f"{path}: unsupported compression {compression}")
+        names = {
+            PXR24_COMPRESSION: "PXR24",
+            DWAA_COMPRESSION: "DWAA",
+            DWAB_COMPRESSION: "DWAB",
+        }
+        raise ExrError(
+            f"{path}: unsupported compression "
+            f"{names.get(compression, compression)}"
+        )
 
     # channels are stored alphabetically within a chunk
     chan_sorted = sorted(channels, key=lambda c: c[0])
@@ -804,6 +928,25 @@ def read_exr(path: str) -> np.ndarray:
                 out[..., i] = planes[c]
     if "A" in planes:
         out[..., 3] = planes["A"]
+
+    # crop-window composition: the image a viewer sees is the DISPLAY
+    # window; data-window pixels are positioned inside it and everything
+    # else is transparent black (matches libOpenEXR's fill semantics —
+    # pinned against it by tests/fixtures/crop_*.exr). Files where the two
+    # windows coincide skip this (the common case and the old behavior).
+    if display_window is not None and display_window != data_window:
+        dx0, dy0, dx1, dy1 = display_window
+        dw_w = dx1 - dx0 + 1
+        dw_h = dy1 - dy0 + 1
+        full = np.zeros((dw_h, dw_w, 4), np.float32)
+        # intersection of the two windows, in each window's local coords
+        ix0, iy0 = max(x0, dx0), max(y0, dy0)
+        ix1, iy1 = min(x1, dx1), min(y1, dy1)
+        if ix0 <= ix1 and iy0 <= iy1:
+            full[iy0 - dy0 : iy1 - dy0 + 1, ix0 - dx0 : ix1 - dx0 + 1] = out[
+                iy0 - y0 : iy1 - y0 + 1, ix0 - x0 : ix1 - x0 + 1
+            ]
+        return full
     return out
 
 

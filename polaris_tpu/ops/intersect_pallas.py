@@ -54,6 +54,14 @@ from ..asset.compiler.compiler import MIN_PRIMITIVES_PER_LEAF as MAX_LEAF  # noq
 # Env-tunable; sweep at leaf 48 (docs/perf.md): 4 -> 49.07, 8 -> 49.81,
 # 16 -> 49.58 Mrays/s (tier-boundary ref traffic vs masked dead work).
 LEAF_TIER = int(_os.environ.get("POLARIS_LEAF_TIER", "8"))
+# the unrolled tier loops assume the leaf capacity is a whole number of
+# tiers; a ragged last tier would read the SMEM staging buffer past
+# MAX_LEAF*9 (masked results, but out-of-bounds reads)
+if MAX_LEAF % LEAF_TIER != 0:
+    raise ValueError(
+        f"POLARIS_LEAF_SIZE ({MAX_LEAF}) must be a multiple of "
+        f"POLARIS_LEAF_TIER ({LEAF_TIER})"
+    )
 
 PHASE_NODE = 0
 PHASE_POP = 1

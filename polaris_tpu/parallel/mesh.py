@@ -185,6 +185,14 @@ class DistributedRenderer:
         """
         from ..render.shade import tonemap_reinhard
 
+        # cache per (render config, lr): a real optimization loop calls
+        # train_step every iteration and must not re-jit each time
+        key = ("train", opt.width, opt.height, opt.spp, opt.num_bounces,
+               opt.min_bounces_for_rr, opt.rr_tile_coherent, opt.exposure,
+               float(lr))
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+
         n_tiles = self.mesh.shape["tile"]
         n_samp = self.mesh.shape["sample"]
         assert opt.height % n_tiles == 0 and opt.spp % n_samp == 0
@@ -219,7 +227,9 @@ class DistributedRenderer:
             out_specs=(P(), P()),
             check_vma=False,
         )
-        return jax.jit(sharded)
+        fn = jax.jit(sharded)
+        self._jit_cache[key] = fn
+        return fn
 
     def train_step(self, opt: RenderOptions, target, lr: float = 0.1, camera=None):
         """Run one distributed optimization step; updates self.params."""

@@ -100,7 +100,7 @@ from polaris_tpu.render.options import RenderOptions
 scene = SceneData.load({scene_path!r})
 opt = RenderOptions(**{opt_kwargs!r})
 mesh = make_global_mesh({tile}, {sample})
-r = DistributedRenderer(scene, mesh, mode="packet")
+r = DistributedRenderer(scene, mesh, mode="pallas")
 accum = r.render_accum(opt)
 from jax.experimental import multihost_utils
 full = multihost_utils.process_allgather(accum, tiled=True)

@@ -73,7 +73,7 @@ class ProgressiveRenderer:
             self._pending_camera = camera
 
     def move_camera(self, direction: str, offset: float) -> None:
-        cam = Camera(**{**self.camera.__dict__})
+        cam = self.camera.clone()
         cam.move(direction, offset)
         self.update_camera(cam)
 
@@ -83,7 +83,7 @@ class ProgressiveRenderer:
         camera.go:98-112 consumes them in Update). Unlike the reference we
         zero the deltas after applying, so a later move() doesn't silently
         re-apply the last rotation (docs/parity.md)."""
-        cam = Camera(**{**self.camera.__dict__})
+        cam = self.camera.clone()
         cam.pitch = pitch
         cam.yaw = yaw
         cam.update()
@@ -92,7 +92,7 @@ class ProgressiveRenderer:
         self.update_camera(cam)
 
     def set_fov(self, fov_deg: float) -> None:
-        cam = Camera(**{**self.camera.__dict__})
+        cam = self.camera.clone()
         cam.fov = float(fov_deg)
         cam.setup_projection(self.opt.width / self.opt.height)
         self.update_camera(cam)
@@ -214,14 +214,64 @@ class ProgressiveRenderer:
         self._latest_png = buf.getvalue()
 
 
+# the interactive viewer page: mouse drag on the image orbits the camera
+# (pointer deltas -> GET /orbit, the reference's left-mouse drag,
+# opengl.go:273-291), WASD/RF keys move (opengl.go:215-271), the wheel zooms
+# via /fov. The image refreshes from JS so an in-flight drag is never
+# interrupted by a page reload.
+_VIEWER_HTML = b"""<!doctype html><html><head><title>polaris-tpu</title>
+<style>body{background:#111;color:#ccc;font-family:monospace}
+#v{cursor:grab;user-select:none;-webkit-user-drag:none}</style></head>
+<body><img id=v src=/frame.png draggable=false>
+<p id=s>drag: orbit &middot; WASD/RF: move &middot; wheel: fov</p>
+<script>
+const img = document.getElementById('v');
+const sens = 0.005;            // radians per pixel, like the GL window
+let dragging = false, lx = 0, ly = 0, fov = 45;
+img.addEventListener('pointerdown', e => {
+  dragging = true; lx = e.clientX; ly = e.clientY;
+  img.setPointerCapture(e.pointerId);
+});
+img.addEventListener('pointerup', () => dragging = false);
+img.addEventListener('pointermove', e => {
+  if (!dragging) return;
+  const dx = e.clientX - lx, dy = e.clientY - ly;
+  lx = e.clientX; ly = e.clientY;
+  if (dx || dy)
+    fetch(`/orbit?pitch=${(-dy * sens).toFixed(5)}&yaw=${(-dx * sens).toFixed(5)}`);
+});
+img.addEventListener('wheel', e => {
+  e.preventDefault();
+  fov = Math.min(160, Math.max(5, fov + Math.sign(e.deltaY) * 2));
+  fetch(`/fov?deg=${fov}`);
+});
+const keymap = {w:'forward', s:'backward', a:'left', d:'right',
+                r:'up', f:'down'};
+document.addEventListener('keydown', e => {
+  const dir = keymap[e.key.toLowerCase()];
+  if (dir) fetch(`/move?dir=${dir}&step=0.25`);
+});
+setInterval(() => {                       // refresh without reloading
+  const probe = new Image();
+  probe.onload = () => { img.src = probe.src; };
+  probe.src = '/frame.png?t=' + Date.now();
+}, 1000);
+setInterval(async () => {
+  const st = await (await fetch('/stats')).json();
+  document.getElementById('s').textContent =
+    `${st.accumulated_samples} spp accumulated | drag: orbit | WASD/RF: move | wheel: fov`;
+}, 1000);
+</script></body></html>"""
+
+
 def _start_server(prog: ProgressiveRenderer, port: int):
-    """Minimal live viewer: / serves an auto-refreshing page, /frame.png the
-    latest image (≙ the interactive GL blit, opengl.go:157-160)."""
+    """Live viewer: / serves the drag-orbit page, /frame.png the latest image
+    (≙ the interactive GL window, opengl.go:57-361)."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     class Handler(BaseHTTPRequestHandler):
         def do_GET(self):  # noqa: N802
-            if self.path == "/frame.png":
+            if self.path.startswith("/frame.png"):
                 data = prog._latest_png or b""
                 self.send_response(200)
                 self.send_header("Content-Type", "image/png")
@@ -296,19 +346,10 @@ def _start_server(prog: ProgressiveRenderer, port: int):
                     self.send_response(400)
                     self.end_headers()
             else:
-                body = (
-                    b"<html><head><meta http-equiv=refresh content=1></head>"
-                    b"<body style='background:#111;color:#ccc;font-family:monospace'>"
-                    b"<img src=/frame.png><p>camera: GET /move?dir="
-                    b"forward|backward|left|right|up|down&amp;step=0.25 &middot; "
-                    b"GET /orbit?pitch=&amp;yaw= (radians) &middot; GET /fov?deg= "
-                    b"&middot; stats+blocks: GET /stats</p>"
-                    b"</body></html>"
-                )
                 self.send_response(200)
                 self.send_header("Content-Type", "text/html")
                 self.end_headers()
-                self.wfile.write(body)
+                self.wfile.write(_VIEWER_HTML)
 
         def log_message(self, *a):
             pass
