@@ -65,6 +65,22 @@ def test_http_viewer_and_camera_endpoint(cornell_scene):
         ) as r:
             assert r.status == 204
         assert prog._pending_camera is not None
+        # the root page is the interactive drag-orbit client (reference
+        # mouse-look, opengl.go:273-291): pointer events wired to /orbit,
+        # keys to /move, wheel to /fov, JS image refresh (no page reload)
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/") as r:
+            assert r.status == 200
+            page = r.read().decode()
+        assert "pointermove" in page and "/orbit?pitch=" in page
+        assert "keydown" in page and "/move?dir=" in page
+        assert "wheel" in page and "/fov?deg=" in page
+        assert "http-equiv" not in page  # drags must survive refreshes
+        # cache-busted frame fetches (the JS refresh path) still serve PNG
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/frame.png?t=123"
+        ) as r:
+            assert r.status == 200
+            assert r.read()[:8] == b"\x89PNG\r\n\x1a\n"
     finally:
         server.shutdown()
 
