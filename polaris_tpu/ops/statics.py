@@ -125,12 +125,73 @@ def scene_statics(scene) -> Static:
     bg_tex = bool(
         bg >= 0 and int(np.asarray(scene.mat_reflectance_tex)[bg]) >= 0
     )
+    tex_fields, ops, bxdf_types, lights, bg_tex = _apply_force(
+        tex_fields, ops, bxdf_types, lights, bg_tex
+    )
     return Static(
         tex_fields=tex_fields,
         ops=ops,
         bxdf_types=bxdf_types,
         lights=lights,
         bg_tex=bg_tex,
+    )
+
+
+def _apply_force(tex_fields, ops, bxdf_types, lights, bg_tex):
+    """POLARIS_STX_FORCE: comma-separated feature tokens to force ON.
+
+    Forcing a branch ON is image-identical by the statics invariant (its
+    where-predicates stay all-false); it exists so benchmarks can measure a
+    machinery's marginal cost with the workload held exactly fixed
+    (docs/perf.md attribution method). Tokens: tex:<field>, bxdf:<name>,
+    op:<name>, light:<area|env>, bg_tex.
+    """
+    import os
+
+    spec = os.environ.get("POLARIS_STX_FORCE", "")
+    if not spec:
+        return tex_fields, ops, bxdf_types, lights, bg_tex
+    from .bxdf import (
+        BXDF_CONDUCTOR,
+        BXDF_DIELECTRIC,
+        BXDF_DIFFUSE,
+        BXDF_EMISSIVE,
+        BXDF_ROUGH_CONDUCTOR,
+        BXDF_ROUGH_DIELECTRIC,
+    )
+
+    bxdf_bits = {
+        "emissive": BXDF_EMISSIVE,
+        "diffuse": BXDF_DIFFUSE,
+        "conductor": BXDF_CONDUCTOR,
+        "rough_conductor": BXDF_ROUGH_CONDUCTOR,
+        "dielectric": BXDF_DIELECTRIC,
+        "rough_dielectric": BXDF_ROUGH_DIELECTRIC,
+    }
+    tex_fields, ops, lights = set(tex_fields), set(ops), set(lights)
+    bxdf_types = set(bxdf_types)
+    for tok in spec.split(","):
+        tok = tok.strip()
+        if not tok:
+            continue
+        if tok == "bg_tex":
+            bg_tex = True
+        elif tok.startswith("tex:"):
+            tex_fields.add(tok[4:])
+        elif tok.startswith("bxdf:"):
+            bxdf_types.add(bxdf_bits[tok[5:]])
+        elif tok.startswith("op:"):
+            ops.add(tok[3:])
+        elif tok.startswith("light:"):
+            lights.add(tok[6:])
+        else:
+            raise ValueError(f"unknown POLARIS_STX_FORCE token: {tok!r}")
+    return (
+        frozenset(tex_fields),
+        frozenset(ops),
+        frozenset(bxdf_types),
+        frozenset(lights),
+        bg_tex,
     )
 
 
