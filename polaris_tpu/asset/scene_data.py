@@ -209,9 +209,21 @@ class SceneData:
         # shading code drop texture/BxDF/operator branches the scene cannot
         # reach (ops/statics.py). Consumers converting values to device
         # arrays must skip keys starting with "_".
-        from ..ops.statics import scene_statics
+        from ..ops.statics import Static, scene_statics
 
         geom["_stx"] = scene_statics(self)
+        # host-static texture table (offset, width, height per texture):
+        # lets the texture sampler resolve per-lane table lookups as cheap
+        # where-selects and build its single-lookup neighborhood atlas with
+        # static shapes (ops/texture.py) — zero-leaf pytree node, jit-static
+        geom["_tex_meta"] = Static(
+            tex=tuple(
+                (int(o), int(w), int(h))
+                for o, w, h in zip(
+                    self.tex_offset, self.tex_width, self.tex_height
+                )
+            )
+        )
         return geom, params
 
 

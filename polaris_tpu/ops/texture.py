@@ -7,56 +7,120 @@ normalizes every texture to float32 RGBA (asset/texture.py), the four-format
 switch disappears — sampling is a pure gather + lerp, differentiable w.r.t.
 the atlas.
 
-The scene dict ``S`` must contain tex_data (K,), tex_offset/width/height (Tx,).
+TPU redesign (round 3): per-lane gathers cost ~1 element-lookup per cycle on
+the TPU, and the naive bilinear fetch needed SEVEN of them per lane — four
+(1,4) corner rows plus three table lookups (offset/width/height). Measured
+end-to-end (ATTRIB_r03.json, statics-forced so the workload is bit-identical)
+that machinery alone cost +50% frame time on the sphere config and explained
+most of the mitsuba/dispersive deficit. The fetch is now ONE contiguous
+16-float lookup from a neighborhood atlas — each texel stores its full 2x2
+bilinear footprint [tl, tr, bl, br] with the edge clamp baked in — built
+INSIDE the program from ``tex_data`` with static-shape ops, so it hoists out
+of the bounce loop, costs nothing per bounce, and gradients still flow to the
+original atlas. Table metadata rides as a host-static sidecar
+(scene_data.split_params ``_tex_meta``), so offset/width/height resolve as
+where-select chains (vec.take_small), not gathers.
+
+The scene dict ``S`` must contain tex_data (K,) and, for the fast path, the
+``_tex_meta`` static; tex_offset/width/height arrays remain for consumers
+that build S by hand (the old 7-lookup path is kept as their fallback).
 """
 
 from __future__ import annotations
 
+import numpy as np
 
-def _fetch_rgba(xp, S, base_px):
-    """Gather 4 consecutive floats starting at pixel slot ``base_px*4``."""
-    tex = S["tex_data"].reshape(-1, 4)
-    return tex[base_px]
+from . import vec as V
 
 
-def _bilinear_setup(xp, S, uv, tex_idx):
-    """Common uv -> texel corner indices + lerp coefficients."""
+def _meta(S):
+    m = S.get("_tex_meta")
+    if m is None:
+        return None
+    rows = m.tex
+    return rows if rows else None
+
+
+def _nb_atlas(xp, S, rows, nc):
+    """(T_texels, 4*nc) neighborhood atlas: texel (y, x) holds the four
+    corners [t(y,x), t(y,bx), t(by,x), t(by,bx)] — ``nc`` components each
+    (3 = RGB bilinear, 1 = red-channel / bump taps; alpha is never sampled
+    by any consumer, and the per-lane lookup cost is per ELEMENT, so smaller
+    rows are proportionally cheaper) — with bx/by clamped at the edge (the
+    reference clamps rather than wraps the +1 texel,
+    texture_sampler.cl:124-141). Built from ``tex_data`` with static-index
+    ops only — differentiable, loop-invariant, and identical in jax/numpy."""
+    parts = []
+    for off, w, h in rows:
+        t = S["tex_data"][off : off + w * h * 4].reshape(h, w, 4)[..., :nc]
+        xi = np.minimum(np.arange(w) + 1, w - 1)
+        yi = np.minimum(np.arange(h) + 1, h - 1)
+        tr = t[:, xi]
+        b = t[yi]
+        parts.append(
+            xp.concatenate([t, tr, b, b[:, xi]], axis=-1).reshape(
+                w * h, 4 * nc
+            )
+        )
+    return xp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+
+def _nb_fetch(xp, S, uv, tex_idx, rows, nc=3):
+    """uv -> (corners (N,4*nc), cx, cy) via one contiguous lookup."""
+    nb_off = 0
+    tab = []
+    for off, w, h in rows:
+        tab.append((nb_off, w, h))
+        nb_off += w * h
+    tab = np.asarray(tab, np.int32)
     safe_idx = xp.maximum(tex_idx, 0)
-    w = S["tex_width"][safe_idx]
-    h = S["tex_height"][safe_idx]
-    off = S["tex_offset"][safe_idx] // 4  # pixel offset
+    row = V.take_small(xp, xp.asarray(tab), safe_idx)  # (N, 3) where-selects
+    off = row[..., 0]
+    w = row[..., 1]
+    h = row[..., 2]
     wf = w.astype(uv.dtype)
     hf = h.astype(uv.dtype)
     su = (uv[..., 0] - xp.floor(uv[..., 0])) * wf
     sv = (uv[..., 1] - xp.floor(uv[..., 1])) * hf
     tx = xp.clip(su.astype(w.dtype), 0, w - 1)
     ty = xp.clip(sv.astype(h.dtype), 0, h - 1)
-    bx = xp.clip(tx + 1, 0, w - 1)
-    by = xp.clip(ty + 1, 0, h - 1)
     cx = su - tx.astype(uv.dtype)
     cy = sv - ty.astype(uv.dtype)
-    return off, w, tx, ty, bx, by, cx, cy
+    nb = _nb_atlas(xp, S, rows, nc)
+    q = nb[off + ty * w + tx]  # ONE (1, 4*nc)-slice gather per lane
+    return q, cx, cy
 
 
 def tex_sample_rgba(xp, S, uv, tex_idx):
-    """Bilinear RGBA sample; tex_idx may be -1 (caller masks the result)."""
-    off, w, tx, ty, bx, by, cx, cy = _bilinear_setup(xp, S, uv, tex_idx)
-    tl = _fetch_rgba(xp, S, off + ty * w + tx)
-    tr = _fetch_rgba(xp, S, off + ty * w + bx)
-    bl = _fetch_rgba(xp, S, off + by * w + tx)
-    br = _fetch_rgba(xp, S, off + by * w + bx)
-    cxe = cx[..., None]
-    cye = cy[..., None]
-    return (tl * (1 - cye) + bl * cye) * (1 - cxe) + (tr * (1 - cye) + br * cye) * cxe
+    """Bilinear RGBA sample (fallback-path consumers only — the fast path
+    serves RGB/R directly since nothing samples alpha)."""
+    return _tex_sample_rgba_slow(xp, S, uv, tex_idx)
 
 
 def tex_sample3(xp, S, uv, tex_idx):
-    return tex_sample_rgba(xp, S, uv, tex_idx)[..., :3]
+    rows = _meta(S)
+    if rows is None:
+        return _tex_sample_rgba_slow(xp, S, uv, tex_idx)[..., :3]
+    q, cx, cy = _nb_fetch(xp, S, uv, tex_idx, rows, nc=3)
+    tl, tr = q[..., 0:3], q[..., 3:6]
+    bl, br = q[..., 6:9], q[..., 9:12]
+    cxe = cx[..., None]
+    cye = cy[..., None]
+    return (tl * (1 - cye) + bl * cye) * (1 - cxe) + (
+        tr * (1 - cye) + br * cye
+    ) * cxe
 
 
 def tex_sample1(xp, S, uv, tex_idx):
     """Red-channel sample (texture_sampler.cl texGetSample1f)."""
-    return tex_sample_rgba(xp, S, uv, tex_idx)[..., 0]
+    rows = _meta(S)
+    if rows is None:
+        return _tex_sample_rgba_slow(xp, S, uv, tex_idx)[..., 0]
+    q, cx, cy = _nb_fetch(xp, S, uv, tex_idx, rows, nc=1)
+    tl, tr, bl, br = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    return (tl * (1 - cy) + bl * cy) * (1 - cx) + (
+        tr * (1 - cy) + br * cy
+    ) * cx
 
 
 def tex_bump_sample3(xp, S, uv, tex_idx):
@@ -64,11 +128,14 @@ def tex_bump_sample3(xp, S, uv, tex_idx):
 
     Returns 0.5 + 0.5*normalize(s1-s0, s2-s0, 1), like the reference, so the
     caller's ``*2-1`` decode applies uniformly to bump and normal maps.
+    The three taps are the tl/tr/bl corners of the same 2x2 neighborhood,
+    so the single-lookup fast path serves them too.
     """
-    off, w, tx, ty, bx, by, cx, cy = _bilinear_setup(xp, S, uv, tex_idx)
-    s0 = _fetch_rgba(xp, S, off + ty * w + tx)[..., 0]
-    s1 = _fetch_rgba(xp, S, off + ty * w + bx)[..., 0]
-    s2 = _fetch_rgba(xp, S, off + by * w + tx)[..., 0]
+    rows = _meta(S)
+    if rows is None:
+        return _tex_bump_sample3_slow(xp, S, uv, tex_idx)
+    q, _, _ = _nb_fetch(xp, S, uv, tex_idx, rows, nc=1)
+    s0, s1, s2 = q[..., 0], q[..., 1], q[..., 2]
     dx = s1 - s0
     dy = s2 - s0
     inv_len = 1.0 / xp.sqrt(dx * dx + dy * dy + 1.0)
@@ -101,3 +168,55 @@ def mat_sample1(xp, S, uv, default1, tex_idx, field=None):
             return default1
     sampled = tex_sample1(xp, S, uv, tex_idx)
     return xp.where(tex_idx < 0, default1, sampled)
+
+
+# ----- fallback path (S built without the _tex_meta static): the original
+# 7-lookup bilinear fetch — 4 corner row-gathers + 3 table gathers -----
+
+
+def _fetch_rgba(xp, S, base_px):
+    """Gather 4 consecutive floats starting at pixel slot ``base_px*4``."""
+    tex = S["tex_data"].reshape(-1, 4)
+    return tex[base_px]
+
+
+def _bilinear_setup(xp, S, uv, tex_idx):
+    """Common uv -> texel corner indices + lerp coefficients."""
+    safe_idx = xp.maximum(tex_idx, 0)
+    w = S["tex_width"][safe_idx]
+    h = S["tex_height"][safe_idx]
+    off = S["tex_offset"][safe_idx] // 4  # pixel offset
+    wf = w.astype(uv.dtype)
+    hf = h.astype(uv.dtype)
+    su = (uv[..., 0] - xp.floor(uv[..., 0])) * wf
+    sv = (uv[..., 1] - xp.floor(uv[..., 1])) * hf
+    tx = xp.clip(su.astype(w.dtype), 0, w - 1)
+    ty = xp.clip(sv.astype(h.dtype), 0, h - 1)
+    bx = xp.clip(tx + 1, 0, w - 1)
+    by = xp.clip(ty + 1, 0, h - 1)
+    cx = su - tx.astype(uv.dtype)
+    cy = sv - ty.astype(uv.dtype)
+    return off, w, tx, ty, bx, by, cx, cy
+
+
+def _tex_sample_rgba_slow(xp, S, uv, tex_idx):
+    off, w, tx, ty, bx, by, cx, cy = _bilinear_setup(xp, S, uv, tex_idx)
+    tl = _fetch_rgba(xp, S, off + ty * w + tx)
+    tr = _fetch_rgba(xp, S, off + ty * w + bx)
+    bl = _fetch_rgba(xp, S, off + by * w + tx)
+    br = _fetch_rgba(xp, S, off + by * w + bx)
+    cxe = cx[..., None]
+    cye = cy[..., None]
+    return (tl * (1 - cye) + bl * cye) * (1 - cxe) + (tr * (1 - cye) + br * cye) * cxe
+
+
+def _tex_bump_sample3_slow(xp, S, uv, tex_idx):
+    off, w, tx, ty, bx, by, cx, cy = _bilinear_setup(xp, S, uv, tex_idx)
+    s0 = _fetch_rgba(xp, S, off + ty * w + tx)[..., 0]
+    s1 = _fetch_rgba(xp, S, off + ty * w + bx)[..., 0]
+    s2 = _fetch_rgba(xp, S, off + by * w + tx)[..., 0]
+    dx = s1 - s0
+    dy = s2 - s0
+    inv_len = 1.0 / xp.sqrt(dx * dx + dy * dy + 1.0)
+    n = xp.stack([dx * inv_len, dy * inv_len, inv_len], axis=-1)
+    return 0.5 + 0.5 * n

@@ -82,20 +82,25 @@ def shade(
     in_dir = -ray_d  # points away from the surface (pt_integrator.cl:86-89)
     point = ray_o + t[..., None] * ray_d
     w = 1.0 - bary_u - bary_v
-    tn = S["tri_normals"][tri]  # (N, 3, 3)
+    # per-triangle vertex attributes are fetched as FLAT CONTIGUOUS rows:
+    # XLA lowers a (1, 3, 2)/(1, 3, 3) multi-dim slice gather through a
+    # catastrophic per-element path (~5 ms per 262k-lane pass — measured
+    # e2e, ATTRIB_r03/texprobe: the whole +49% "texture tax" was ONE such
+    # tri_uvs gather), while a flat (1, K)-row gather is free
+    tn = S["tri_normals"].reshape(-1, 9)[tri]  # (N, 9)
     n_obj = (
-        w[..., None] * tn[..., 0, :]
-        + bary_u[..., None] * tn[..., 1, :]
-        + bary_v[..., None] * tn[..., 2, :]
+        w[..., None] * tn[..., 0:3]
+        + bary_u[..., None] * tn[..., 3:6]
+        + bary_v[..., None] * tn[..., 6:9]
     )
     # normals transform by w2o^T (inverse-transpose of object->world)
     w2o = V.take_small(xp, S["inst_w2o"], inst)
     normal = V.normalize3(xp, V.transform_normal(xp, w2o, n_obj))
-    tuv = S["tri_uvs"][tri]
+    tuv = S["tri_uvs"].reshape(-1, 6)[tri]  # (N, 6)
     uv = (
-        w[..., None] * tuv[..., 0, :]
-        + bary_u[..., None] * tuv[..., 1, :]
-        + bary_v[..., None] * tuv[..., 2, :]
+        w[..., None] * tuv[..., 0:2]
+        + bary_u[..., None] * tuv[..., 2:4]
+        + bary_v[..., None] * tuv[..., 4:6]
     )
 
     # --- layered material selection (material_sampler.cl matSelectNode) ---
