@@ -51,3 +51,39 @@ def sphere_scene(scenes_dir):
     from polaris_tpu.asset.wavefront import read_scene
 
     return compile_scene(read_scene(os.path.join(scenes_dir, "sphere.obj")))
+
+
+@pytest.fixture(scope="session")
+def textured_scene(scenes_dir, tmp_path_factory):
+    """Tiny scene for texture/rough-leaf gradient tests: a checker-textured
+    floor, a vertical rough-conductor panel (roughness + IOR leaves in play),
+    and an area light — 6 triangles, fast in bvh mode on CPU."""
+    import shutil
+
+    from polaris_tpu.asset.compiler.compiler import compile_scene
+    from polaris_tpu.asset.wavefront import read_scene
+
+    d = tmp_path_factory.mktemp("textured")
+    shutil.copy(os.path.join(scenes_dir, "checker.png"), d / "checker.png")
+    (d / "t.mtl").write_text(
+        'newmtl tfloor\nmat_expr diffuse(reflectance: "checker.png")\n\n'
+        "newmtl rough\nmat_expr roughConductor(specularity: {0.9, 0.8, 0.6},"
+        " roughness: 0.3, intIOR: 1.8)\n\n"
+        "newmtl lamp\nmat_expr emissive(radiance: {1, 1, 1}, scale: 16)\n\n"
+    )
+    (d / "t.obj").write_text(
+        "mtllib t.mtl\n"
+        "camera_fov 45\ncamera_eye 0 1.0 2.5\ncamera_look 0 0.5 0\n"
+        "camera_up 0 1 0\n"
+        # textured floor (uvs span 2 checker periods)
+        "v -2 0 -2\nv -2 0 2\nv 2 0 2\nv 2 0 -2\n"
+        "vt 0 0\nvt 0 2\nvt 2 2\nvt 2 0\n"
+        "usemtl tfloor\nf 1/1 2/2 3/3 4/4\n"
+        # vertical rough panel facing the camera
+        "v -1.5 0 -1.8\nv 1.5 0 -1.8\nv 1.5 2 -1.8\nv -1.5 2 -1.8\n"
+        "usemtl rough\nf 5 6 7 8\n"
+        # lamp overhead
+        "v -0.7 2.8 -0.7\nv 0.7 2.8 -0.7\nv 0.7 2.8 0.7\nv -0.7 2.8 0.7\n"
+        "usemtl lamp\nf 9 10 11 12\n"
+    )
+    return compile_scene(read_scene(str(d / "t.obj")))
