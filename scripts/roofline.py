@@ -43,9 +43,16 @@ INNER_SYNCS = 2          # two cross-lane reductions per inner node
 LEAF_SYNCS_ANY = 1       # any-hit early-out reduction per leaf
 
 
-def traverse_tile_counts(scene, o, d, maxt, act):
+def traverse_tile_counts(scene, o, d, maxt, act, tfar_cull=False):
     """NumPy replica of the packet kernel's traversal for ONE tile.
-    Returns (inner_visits, leaf_visits, leaf_tris_tested)."""
+    Returns (inner_visits, leaf_visits, leaf_tris_tested).
+
+    ``tfar_cull`` simulates t-far stack culling (round-3 structural
+    candidate): each pushed far node carries its tile-min entry distance;
+    at pop, the subtree is skipped outright when that distance can no longer
+    beat the WORST live best-t in the tile (a scalar-vs-scalar compare in
+    the kernel; maintaining the tile-max best-t costs one extra reduction
+    per leaf visit)."""
     ld = scene.bvh_ldata.astype(np.int64)
     rd = scene.bvh_rdata.astype(np.int64)
     bmin = scene.bvh_min
@@ -113,8 +120,11 @@ def traverse_tile_counts(scene, o, d, maxt, act):
             wl = np.isfinite(lmin).any()
             wr = np.isfinite(rmin).any()
             if wl and wr:
-                near, far = (l, r) if lmin.min() <= rmin.min() else (r, l)
-                stack.append(far)
+                if lmin.min() <= rmin.min():
+                    near, far, fmin = l, r, rmin.min()
+                else:
+                    near, far, fmin = r, l, lmin.min()
+                stack.append((far, fmin))
                 node = near
                 continue
             if wl or wr:
@@ -129,7 +139,14 @@ def traverse_tile_counts(scene, o, d, maxt, act):
                 msbi = -1
             if not stack:
                 return inner, leaves, tris_tested
-            node = stack.pop()
+            node, fmin = stack.pop()
+            if tfar_cull:
+                # the t parameter is frame-invariant (instance transforms
+                # scale the direction without renormalizing), so entry
+                # distances compare validly across TLAS/BLAS frames
+                worst = best[act].max() if act.any() else 0.0
+                if fmin >= worst:
+                    continue  # whole subtree culled
             break
 
 
