@@ -55,10 +55,25 @@ def main():
             r.render_u8(opt)
             best = min(best, time.perf_counter() - t0)
         rays = w * h * spp * nb * 2
+        # useful-ray companion metric (round-2 VERDICT weak #8: nominal
+        # accounting counts dead-lane "queries" the all-dead tile skip never
+        # executes). The live fraction comes from the CPU oracle at 64^2
+        # (it's per-pixel statistics — resolution changes it only through
+        # scene coverage, and spp not at all since samples are iid).
+        from polaris_tpu.cpu_ref.renderer import CpuRenderer
+
+        probe = RenderOptions(
+            width=64, height=64, spp=4, num_bounces=nb, min_bounces_for_rr=3
+        )
+        oracle = CpuRenderer(scene)
+        oracle.render_accum(probe)
+        frac = oracle.last_live_stats["useful_fraction"]
         row = {
             "metric": label,
             "frame_s": round(best, 3),
             "mrays_per_s": round(rays / best / 1e6, 2),
+            "useful_fraction": round(frac, 4),
+            "useful_mrays_per_s": round(rays * frac / best / 1e6, 2),
         }
         results.append(row)
         print(json.dumps(row))

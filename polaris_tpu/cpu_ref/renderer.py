@@ -142,8 +142,14 @@ class CpuRenderer:
 
     # ----- rendering -----
 
-    def render_accum(self, opt: RenderOptions, camera: Camera = None) -> np.ndarray:
-        """Render the HDR accumulator [H, W, 3] (sum over spp samples)."""
+    def render_accum(
+        self, opt: RenderOptions, camera: Camera = None, sample_offset: int = 0
+    ) -> np.ndarray:
+        """Render the HDR accumulator [H, W, 3] (sum over spp samples).
+
+        ``sample_offset`` shifts the absolute sample indices (the RNG is
+        keyed on them), mirroring TpuRenderer.render_accum_offset — so the
+        oracle can gate progressive/offset rendering and the spp axis."""
         sc = self.scene
         cam = camera or Camera.from_scene(sc, opt.width, opt.height)
         W, H = opt.width, opt.height
@@ -155,8 +161,13 @@ class CpuRenderer:
         )
         accum = np.zeros((n, 3), np.float32)
         num_emissives = int(sc.emis_area.shape[0])
+        # per-bounce live-lane fractions (closest pass entry / NEE any-hit),
+        # averaged over samples — the honest "useful ray" accounting behind
+        # bench_configs.py's useful_mrays companion metric
+        live_closest = np.zeros(opt.num_bounces)
+        live_occl = np.zeros(opt.num_bounces)
 
-        for s in range(opt.spp):
+        for s in range(sample_offset, sample_offset + opt.spp):
             U0 = rng.make_uniform(rng.np_uniform, opt.seed, pixel_idx, s, 0)
             ray_o, ray_d = gen_rays(
                 np, cam.frustum, cam.position, W, H, xs, ys, U0
@@ -167,6 +178,7 @@ class CpuRenderer:
             maxt = np.full(n, V.FLT_MAX, np.float32)
 
             for b in range(opt.num_bounces):
+                live_closest[b] += alive.mean() / opt.spp
                 t, inst, tri, bu, bv, hit = self.intersect_closest(
                     ray_o, ray_d, maxt, alive
                 )
@@ -201,6 +213,7 @@ class CpuRenderer:
                     flags=flags,
                 )
                 accum += out["emit_add"]
+                live_occl[b] += out["occl_mask"].mean() / opt.spp
                 # occlusion test + NEE accumulation (pt_integrator.cl:278-296)
                 if num_emissives > 0:
                     occluded = self.intersect_any(
@@ -217,6 +230,15 @@ class CpuRenderer:
                     break
             _log.debug("sample %d/%d done", s + 1, opt.spp)
 
+        self.last_live_stats = {
+            "closest": live_closest.tolist(),
+            "occl": live_occl.tolist(),
+            # fraction of the nominal 2*bounces queries/pixel/sample that
+            # were actually live
+            "useful_fraction": float(
+                (live_closest.sum() + live_occl.sum()) / (2 * opt.num_bounces)
+            ),
+        }
         return accum.reshape(H, W, 3)
 
     def render(self, opt: RenderOptions, camera: Camera = None) -> np.ndarray:
