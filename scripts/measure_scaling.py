@@ -4,8 +4,17 @@ On a multi-chip/multi-host TPU slice this reports true ICI/DCN scaling; on
 this single-chip dev box it can exercise the virtual CPU mesh (functional
 check) — run with --cpu to force that.
 
+--weak (round-3 VERDICT item 4): WEAK scaling — fixed work per device (a
+fixed row band each), so compute dominates the fixed per-program cost that
+made the round-2 strong-scaling rows overhead-dominated noise. This box has
+only 2 physical cores, so N virtual devices > 2 time-slice them; the row for
+N devices therefore reports efficiency against the honest ideal
+t1 * max(1, N/cores) (time-sliced), and the 2-device row — true parallelism
+on 2 cores — is the stand-in for the reference's 2-host >=95% gate. The
+fixed per-program cost is quantified separately from two 1-device sizes.
+
 Usage:
-  python scripts/measure_scaling.py [--res 512 --spp 8] [--cpu]
+  python scripts/measure_scaling.py [--res 512 --spp 8] [--cpu] [--weak]
 """
 
 import argparse
@@ -25,6 +34,9 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="force an 8-device virtual CPU mesh")
     ap.add_argument("--scene", default="sphere")
+    ap.add_argument("--weak", action="store_true",
+                    help="weak scaling: fixed rows per device")
+    ap.add_argument("--rows-per-device", type=int, default=128)
     ap.add_argument("--out", default="",
                     help="merge results into this JSON artifact")
     ap.add_argument("--tag", default="run",
@@ -67,6 +79,9 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best
 
+    if args.weak:
+        return weak_scaling(args, scene, n_dev)
+
     r1 = TpuRenderer(scene)
     t1 = steady(lambda: r1.render_accum(opt))
     base = rays / t1 / 1e6
@@ -103,6 +118,98 @@ def main():
             "config": {
                 "scene": args.scene, "res": args.res, "spp": args.spp,
                 "bounces": args.bounces,
+            },
+            "rows": rows,
+        }
+        with open(args.out, "w") as f:
+            json.dump(artifact, f, indent=1)
+        print(f"wrote {args.out}[{args.tag}]")
+    return rows
+
+
+def weak_scaling(args, scene, n_dev):
+    import json
+    import time
+
+    import jax
+    import numpy as np
+
+    from polaris_tpu.parallel.mesh import DistributedRenderer, make_mesh
+    from polaris_tpu.render.options import RenderOptions
+
+    cores = os.cpu_count() or 1
+    on_cpu = jax.devices()[0].platform == "cpu"
+    W = args.res
+    rpd = args.rows_per_device
+
+    def steady(fn):
+        np.asarray(fn())  # compile
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(fn())
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    def run(n):
+        opt = RenderOptions(
+            width=W, height=rpd * n, spp=args.spp,
+            num_bounces=args.bounces, min_bounces_for_rr=3,
+        )
+        mesh = make_mesh(tile=n, sample=1)
+        rd = DistributedRenderer(scene, mesh)
+        return steady(lambda: rd.render_accum(opt))
+
+    # quantify the fixed per-program cost from two 1-device sizes:
+    # t(rows) = fixed + rows*c  =>  fixed = 2*t(rpd) - t(2*rpd)
+    t1 = run(1)
+    opt2 = RenderOptions(width=W, height=2 * rpd, spp=args.spp,
+                         num_bounces=args.bounces, min_bounces_for_rr=3)
+    rd1 = DistributedRenderer(scene, make_mesh(tile=1, sample=1))
+    t1_double = steady(lambda: rd1.render_accum(opt2))
+    fixed = max(0.0, 2 * t1 - t1_double)
+    rays1 = W * rpd * args.spp * args.bounces * 2
+    print(f"1 device, {rpd} rows: {t1:.3f}s ({rays1/t1/1e6:.2f} Mrays/s); "
+          f"fixed per-program cost ~{fixed*1e3:.0f} ms "
+          f"({fixed/t1*100:.0f}% of the 1-device row)")
+
+    rows = [{
+        "devices": 1, "rows": rpd, "seconds": round(t1, 4),
+        "mrays_per_s": round(rays1 / t1 / 1e6, 2),
+        "weak_efficiency_pct": 100.0, "oversub_factor": 1.0,
+    }]
+    n = 2
+    while n <= n_dev:
+        tn = run(n)
+        # N virtual devices on `cores` physical cores time-slice: the honest
+        # ideal wall time is t1 * max(1, N/cores); true parallel hardware
+        # (N <= cores, or a real TPU slice) has oversub_factor == 1
+        oversub = max(1.0, n / cores) if on_cpu else 1.0
+        eff = t1 * oversub / tn * 100
+        mrays = rays1 * n / tn / 1e6
+        rows.append({
+            "devices": n, "rows": rpd * n, "seconds": round(tn, 4),
+            "mrays_per_s": round(mrays, 2),
+            "weak_efficiency_pct": round(eff, 1),
+            "oversub_factor": round(oversub, 2),
+        })
+        print(f"{n} devices, {rpd*n} rows: {tn:.3f}s  {mrays:.2f} Mrays/s  "
+              f"weak efficiency {eff:.1f}% (oversub x{oversub:.1f})")
+        n *= 2
+
+    if args.out:
+        artifact = {}
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                artifact = json.load(f)
+        artifact[args.tag] = {
+            "device_kind": str(jax.devices()[0].device_kind),
+            "mode": "weak",
+            "physical_cores": cores,
+            "fixed_cost_s": round(fixed, 4),
+            "config": {
+                "scene": args.scene, "width": W, "rows_per_device": rpd,
+                "spp": args.spp, "bounces": args.bounces,
             },
             "rows": rows,
         }
