@@ -373,7 +373,11 @@ def make_intersectors(
 
         import os
 
-        res_kb = int(os.environ.get("POLARIS_RESIDENT_KB", "500"))
+        # resident-prefix budget: measured on terrain819k (one v5e) —
+        # 500 KB 4.98, 800 KB 5.50, 896 KB 5.67 Mrays/s; 864 keeps ~130 KB
+        # SMEM headroom over the largest tested-working configuration
+        # (pack_scene_nodes additionally deducts per-instance overhead)
+        res_kb = int(os.environ.get("POLARIS_RESIDENT_KB", "864"))
         PN = {
             k: (v if k == "pn_resident" else jnp.asarray(v))
             for k, v in pack_scene_nodes(

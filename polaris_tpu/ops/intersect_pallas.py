@@ -145,6 +145,15 @@ def _kernel(
             fvote_ref[4] = gdiv(jnp.sum(cdy[:]) * s)
             fvote_ref[5] = gdiv(jnp.sum(cdz[:]) * s)
 
+    if stream_tris:
+        # window-reuse tag (mirrors intersect_pallas_nodes): the staging
+        # buffer persists across tiles within a grid step and consecutive
+        # leaf visits usually land in the same aligned 2048-float window
+        # (~4.7 leaves ride along per fetch at leaf 48) — skip the DMA when
+        # the window is already resident. vote_ref[5] holds the staged
+        # block offset; -1 = nothing staged.
+        vote_ref[5] = jnp.int32(-1)
+
     def run_tile(k, _):
         act = act_ref[k] != 0
 
@@ -231,13 +240,17 @@ def _kernel(
                     off0 = first * stride
                     blk = (off0 // STREAM_ALIGN) * STREAM_ALIGN
                     local = off0 - blk
-                    dma = pltpu.make_async_copy(
-                        tris_ref.at[pl.ds(blk, 2 * STREAM_ALIGN)],
-                        tri_buf,
-                        dma_sem,
-                    )
-                    dma.start()
-                    dma.wait()
+
+                    @pl.when(blk != vote_ref[5])
+                    def _():
+                        dma = pltpu.make_async_copy(
+                            tris_ref.at[pl.ds(blk, 2 * STREAM_ALIGN)],
+                            tri_buf,
+                            dma_sem,
+                        )
+                        dma.start()
+                        dma.wait()
+                        vote_ref[5] = blk
                 px, py, pz = cox[:], coy[:], coz[:]
                 qx, qy, qz = cdx[:], cdy[:], cdz[:]
 

@@ -73,12 +73,12 @@ def _kernel(
     t_ref, u_ref, v_ref, tri_ref, inst_ref, found_ref,
     # --- scratch ---
     stack_ref,      # SMEM (STACK_SIZE,) i32
-    vote_ref,       # SMEM (8,) i32
+    vote_ref,       # SMEM (12,) i32
     cox, coy, coz, cdx, cdy, cdz,  # VMEM (8,128) f32 current rays
     cix, ciy, ciz,  # VMEM (8,128) f32 cached inverse directions
     bden,           # VMEM (8,128) f32 leaf-tier best-hit denominator
-    node_buf,       # SMEM (STREAM_ALIGN,) f32 node-record staging window
-    tri_buf,        # SMEM (2*STREAM_ALIGN,) f32 leaf-triangle staging
+    node_buf,       # SMEM (2*STREAM_ALIGN,) f32 2-way node-window cache
+    tri_buf,        # SMEM (4*STREAM_ALIGN,) f32 2-way leaf-window cache
     node_sem,       # DMA semaphore
     tri_sem,        # DMA semaphore
     *,
@@ -99,15 +99,24 @@ def _kernel(
             jnp.abs(qz) < 1e-30, jnp.where(qz < 0, -1e-30, 1e-30), qz
         )
 
-    # window-reuse tags: the staging buffers persist across tiles within a
+    # window-reuse caches: the staging buffers persist across tiles within a
     # grid step, and traversal locality means consecutive non-resident
     # visits usually land in the SAME aligned window (64 node records /
     # ~4.7 leaves ride along per fetch) — round-2 re-issued the DMA on
     # every visit anyway, which was most of the measured -17% node-streaming
-    # tax. vote_ref[5] holds the resident node-window block, vote_ref[6]
-    # the triangle-window block; -1 = nothing staged.
+    # tax. Each staging buffer is a TWO-WAY LRU cache of aligned windows
+    # (near-first descent alternates between sibling subtrees, so a single
+    # window thrashes exactly on the pattern that dominates): tags hold the
+    # staged block offset (-1 = empty), the last-used bit doubles as the
+    # read-base selector.
+    #   nodes: tags vote_ref[5]/[7], last-used-A bit vote_ref[8]
+    #   tris:  tags vote_ref[6]/[9], last-used-A bit vote_ref[10]
     vote_ref[5] = jnp.int32(-1)
     vote_ref[6] = jnp.int32(-1)
+    vote_ref[7] = jnp.int32(-1)
+    vote_ref[8] = jnp.int32(0)
+    vote_ref[9] = jnp.int32(-1)
+    vote_ref[10] = jnp.int32(0)
 
     def run_tile(k, _):
         act = act_ref[k] != 0
@@ -141,19 +150,40 @@ def _kernel(
             @pl.when(jnp.logical_not(is_res))
             def _():
                 blk = (node // RECS_PER_WINDOW) * STREAM_ALIGN
+                tag_a = vote_ref[5]
+                tag_b = vote_ref[7]
 
-                @pl.when(blk != vote_ref[5])
+                @pl.when((blk != tag_a) & (blk != tag_b))
                 def _():
-                    dma = pltpu.make_async_copy(
-                        nodes_ref.at[pl.ds(blk, STREAM_ALIGN)],
-                        node_buf,
-                        node_sem,
-                    )
-                    dma.start()
-                    dma.wait()
-                    vote_ref[5] = blk
+                    vic_a = vote_ref[8] == 0  # evict the not-last-used way
 
-            loc = (node % RECS_PER_WINDOW) * REC
+                    # two static-offset branches: Mosaic must prove the SMEM
+                    # dest slice start divisible by its 1024 tiling, which a
+                    # dynamic where-select offset defeats
+                    def fill(dst_off):
+                        dma = pltpu.make_async_copy(
+                            nodes_ref.at[pl.ds(blk, STREAM_ALIGN)],
+                            node_buf.at[pl.ds(dst_off, STREAM_ALIGN)],
+                            node_sem,
+                        )
+                        dma.start()
+                        dma.wait()
+
+                    pl.when(vic_a)(functools.partial(fill, 0))
+                    pl.when(jnp.logical_not(vic_a))(
+                        functools.partial(fill, STREAM_ALIGN)
+                    )
+                    vote_ref[5] = jnp.where(vic_a, blk, tag_a)
+                    vote_ref[7] = jnp.where(vic_a, tag_b, blk)
+
+                vote_ref[8] = (blk == vote_ref[5]).astype(jnp.int32)
+
+            # read base: way A or B (garbage-but-in-bounds when is_res — all
+            # node_buf reads are where-selected against the resident refs)
+            loc = (
+                jnp.where(vote_ref[8] != 0, 0, STREAM_ALIGN)
+                + (node % RECS_PER_WINDOW) * REC
+            )
             nc = jnp.clip(node, 0, resident - 1)
             ld = jnp.where(
                 is_res, res_ld_ref[nc], node_buf[loc + 0].astype(jnp.int32)
@@ -195,18 +225,35 @@ def _kernel(
                 live = live_mask()
                 off0 = first * 9
                 blk = (off0 // STREAM_ALIGN) * STREAM_ALIGN
-                local = off0 - blk
+                tag_a = vote_ref[6]
+                tag_b = vote_ref[9]
 
-                @pl.when(blk != vote_ref[6])
+                @pl.when((blk != tag_a) & (blk != tag_b))
                 def _():
-                    dma = pltpu.make_async_copy(
-                        tris_ref.at[pl.ds(blk, 2 * STREAM_ALIGN)],
-                        tri_buf,
-                        tri_sem,
+                    vic_a = vote_ref[10] == 0
+
+                    def fill(dst_off):
+                        dma = pltpu.make_async_copy(
+                            tris_ref.at[pl.ds(blk, 2 * STREAM_ALIGN)],
+                            tri_buf.at[pl.ds(dst_off, 2 * STREAM_ALIGN)],
+                            tri_sem,
+                        )
+                        dma.start()
+                        dma.wait()
+
+                    pl.when(vic_a)(functools.partial(fill, 0))
+                    pl.when(jnp.logical_not(vic_a))(
+                        functools.partial(fill, 2 * STREAM_ALIGN)
                     )
-                    dma.start()
-                    dma.wait()
-                    vote_ref[6] = blk
+                    vote_ref[6] = jnp.where(vic_a, blk, tag_a)
+                    vote_ref[9] = jnp.where(vic_a, tag_b, blk)
+
+                vote_ref[10] = (blk == vote_ref[6]).astype(jnp.int32)
+                local = (
+                    jnp.where(vote_ref[10] != 0, 0, 2 * STREAM_ALIGN)
+                    + off0
+                    - blk
+                )
                 px, py, pz = cox[:], coy[:], coz[:]
                 qx, qy, qz = cdx[:], cdy[:], cdz[:]
 
@@ -435,12 +482,12 @@ def _build_call(resident: int, grid: int, any_hit: bool):
         scratch_shapes=(
             [
                 pltpu.SMEM((STACK_SIZE,), jnp.int32),
-                pltpu.SMEM((8,), jnp.int32),
+                pltpu.SMEM((12,), jnp.int32),
             ]
             + [pltpu.VMEM(TILE, jnp.float32)] * 10
             + [
-                pltpu.SMEM((STREAM_ALIGN,), jnp.float32),
                 pltpu.SMEM((2 * STREAM_ALIGN,), jnp.float32),
+                pltpu.SMEM((4 * STREAM_ALIGN,), jnp.float32),
                 pltpu.SemaphoreType.DMA(()),
                 pltpu.SemaphoreType.DMA(()),
             ]
@@ -473,7 +520,7 @@ def _depth_order(scene) -> np.ndarray:
     return depth
 
 
-def pack_scene_nodes(scene, resident_bytes: int = 500 * 1024) -> dict:
+def pack_scene_nodes(scene, resident_bytes: int = 864 * 1024) -> dict:
     """Host-side packing for the streamed-nodes kernel.
 
     Nodes are renumbered by BFS depth so the resident SMEM prefix covers the
@@ -519,7 +566,10 @@ def pack_scene_nodes(scene, resident_bytes: int = 500 * 1024) -> dict:
     total = -(-rec.size // STREAM_ALIGN) * STREAM_ALIGN + STREAM_ALIGN
     rec = np.pad(rec, (0, total - rec.size))
 
-    k = max(1, min(n, resident_bytes // 56))
+    # deduct per-instance SMEM overhead (w2o 48 B + root 4 B each) so the
+    # resident budget stays honest for instance-heavy scenes
+    inst_bytes = 52 * int(scene.inst_bvh_root.shape[0])
+    k = max(1, min(n, max(0, resident_bytes - inst_bytes) // 56))
     tris = (
         np.concatenate([scene.tri_v0, scene.tri_e1, scene.tri_e2], axis=1)
         .astype(np.float32)
