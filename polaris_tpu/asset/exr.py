@@ -3,22 +3,25 @@
 The reference loads EXR through OpenImageIO (README.md:19); this image has
 no EXR bindings, so a from-scratch codec covers what shows up in the wild:
 
-  * single-part SCANLINE images: NONE / RLE / ZIP / ZIPS / PIZ / B44 / B44A
+  * single-part SCANLINE images: NONE / RLE / ZIP / ZIPS / PIZ / PXR24 /
+    B44 / B44A
   * single-part TILED images (ONE_LEVEL, MIPMAP, RIPMAP — level 0 is read),
     same compression set
   * HALF / FLOAT / UINT channels R/G/B(/A/Y)
   * crop windows (dataWindow != displayWindow): the returned image is the
     display window with data-window pixels composed in, zero elsewhere
-  * graceful ExrError for the exotic tail: PXR24/DWAA/DWAB, multi-part, deep
+  * graceful ExrError for the exotic tail: DWAA/DWAB, multi-part, deep
 
 The PIZ codec (bitmap LUT + 2D integer wavelet + canonical Huffman with an
 RLE escape symbol) follows the format as implemented by the OpenEXR
 reference library (ImfPizCompressor / ImfWav / ImfHuf); both directions are
 implemented here so the lossless round-trip is testable without external
-bindings (tests/test_exr.py).
+bindings (tests/test_exr.py). PXR24 (ImfPxr24Compressor: per-channel
+per-scanline delta byte planes + zlib; FLOAT truncated-with-rounding to 24
+bits) likewise implements both directions.
 
-The writer emits FLOAT scanline or tiled images in any supported
-compression (used by tests and for dumping HDR render output).
+The writer emits FLOAT or HALF scanline (and FLOAT tiled) images in any
+supported compression (used by tests and for dumping HDR render output).
 """
 
 from __future__ import annotations
@@ -58,6 +61,7 @@ _LINES_PER_CHUNK = {
     RLE_COMPRESSION: 1,
     ZIPS_COMPRESSION: 1,
     ZIP_COMPRESSION: 16,
+    PXR24_COMPRESSION: 16,
     PIZ_COMPRESSION: 32,
     B44_COMPRESSION: 32,
     B44A_COMPRESSION: 32,
@@ -747,6 +751,89 @@ def _b44_uncompress(
     return bytes(out)
 
 
+# ------------------------------------------------------------------- PXR24
+# Format per ImfPxr24Compressor: per scanline, per channel (alphabetical),
+# pixels become per-byte planes (MSB plane first) of the DELTA to the
+# previous pixel in that channel-row (previous starts at 0); FLOAT channels
+# are first truncated-with-rounding to 24 bits; the plane stream is zlib'd.
+
+
+def _float_to_float24(f: np.ndarray) -> np.ndarray:
+    """f32 -> 24-bit float bits (round-to-nearest, NaN kept NaN). The
+    decoder never calls this; only the writer's lossy truncation does."""
+    i = np.ascontiguousarray(f, "<f4").view(np.uint32)
+    s = i & 0x80000000
+    e = i & 0x7F800000
+    m = i & 0x007FFFFF
+    inf_nan = e == 0x7F800000
+    m_nan = np.where(m != 0, np.uint32(0x007FFFFF), m)
+    rounded = (e | m).astype(np.uint64) + 0x80
+    rounded = np.minimum(rounded, 0x7F7FFFFF + 0x80).astype(np.uint32)
+    out = np.where(inf_nan, (s | e | m_nan), s | (rounded & 0x7FFFFF80))
+    return out >> 8
+
+
+def _pxr24_uncompress(raw, chan_sorted, width, n_lines) -> bytes:
+    data = np.frombuffer(zlib.decompress(raw), np.uint8)
+    pos = 0
+    out = bytearray()
+
+    def planes(nb):
+        nonlocal pos
+        ps = [data[pos + k * width : pos + (k + 1) * width] for k in range(nb)]
+        pos += nb * width
+        return [p.astype(np.uint64) for p in ps]
+
+    for _y in range(n_lines):
+        for _cname, ptype in chan_sorted:
+            if ptype == PIXEL_HALF:
+                p0, p1 = planes(2)
+                diff = (p0 << 8) | p1
+                pix = (np.cumsum(diff) & 0xFFFF).astype("<u2")
+                out += pix.tobytes()
+            elif ptype == PIXEL_FLOAT:
+                p0, p1, p2 = planes(3)
+                diff = (p0 << 16) | (p1 << 8) | p2
+                pix = (np.cumsum(diff) & 0xFFFFFF).astype(np.uint32)
+                out += (pix << 8).astype("<u4").tobytes()
+            else:  # UINT
+                p0, p1, p2, p3 = planes(4)
+                diff = (p0 << 24) | (p1 << 16) | (p2 << 8) | p3
+                pix = (np.cumsum(diff) & 0xFFFFFFFF).astype("<u4")
+                out += pix.tobytes()
+    if pos != data.size:
+        raise ExrError("pxr24 chunk size mismatch")
+    return bytes(out)
+
+
+def _pxr24_compress(raw: bytes, chan_sorted, width, n_lines) -> bytes:
+    out = bytearray()
+    pos = 0
+    for _y in range(n_lines):
+        for _cname, ptype in chan_sorted:
+            if ptype == PIXEL_HALF:
+                pix = np.frombuffer(raw, "<u2", width, pos).astype(np.int64)
+                pos += 2 * width
+                diff = np.diff(pix, prepend=0) & 0xFFFF
+                out += (diff >> 8).astype(np.uint8).tobytes()
+                out += (diff & 0xFF).astype(np.uint8).tobytes()
+            elif ptype == PIXEL_FLOAT:
+                f = np.frombuffer(raw, "<f4", width, pos)
+                pos += 4 * width
+                pix = _float_to_float24(f).astype(np.int64)
+                diff = np.diff(pix, prepend=0) & 0xFFFFFF
+                out += (diff >> 16).astype(np.uint8).tobytes()
+                out += ((diff >> 8) & 0xFF).astype(np.uint8).tobytes()
+                out += (diff & 0xFF).astype(np.uint8).tobytes()
+            else:
+                pix = np.frombuffer(raw, "<u4", width, pos).astype(np.int64)
+                pos += 4 * width
+                diff = np.diff(pix, prepend=0) & 0xFFFFFFFF
+                for sh in (24, 16, 8, 0):
+                    out += ((diff >> sh) & 0xFF).astype(np.uint8).tobytes()
+    return zlib.compress(bytes(out))
+
+
 def _decode_chunk(raw, chan_sorted, width, n_lines, compression):
     """Decode one chunk (scanline block or tile) to raw interleaved bytes."""
     expect = n_lines * sum(
@@ -765,6 +852,8 @@ def _decode_chunk(raw, chan_sorted, width, n_lines, compression):
             raw, chan_sorted, width, n_lines,
             may_flat=compression == B44A_COMPRESSION,
         )
+    if compression == PXR24_COMPRESSION:
+        return _pxr24_uncompress(raw, chan_sorted, width, n_lines)
     raise ExrError(f"unsupported compression {compression}")
 
 
@@ -859,7 +948,6 @@ def read_exr(path: str) -> np.ndarray:
     height = y1 - y0 + 1
     if compression not in _LINES_PER_CHUNK:
         names = {
-            PXR24_COMPRESSION: "PXR24",
             DWAA_COMPRESSION: "DWAA",
             DWAB_COMPRESSION: "DWAB",
         }
@@ -951,20 +1039,27 @@ def read_exr(path: str) -> np.ndarray:
 
 
 def write_exr(
-    path: str, rgb: np.ndarray, compression: int = NO_COMPRESSION
+    path: str,
+    rgb: np.ndarray,
+    compression: int = NO_COMPRESSION,
+    pixel_type: int = PIXEL_FLOAT,
 ) -> None:
-    """Write (H, W, 3) float32 as a FLOAT scanline EXR in the requested
-    compression (NONE/ZIP/ZIPS/PIZ)."""
+    """Write (H, W, 3) float32 as a scanline EXR in the requested
+    compression (NONE/ZIP/ZIPS/PIZ/PXR24) and channel type. HALF
+    (``pixel_type=PIXEL_HALF``) is the dominant interchange format the
+    reference writes through OpenImageIO."""
     h, w, _ = rgb.shape
-    head = struct.pack("<ii", MAGIC, 2) + _header_bytes(w, h, compression)
+    head = struct.pack("<ii", MAGIC, 2) + _header_bytes(
+        w, h, compression, pixel_type=pixel_type
+    )
     lines_per_chunk = _LINES_PER_CHUNK[compression]
     num_chunks = (h + lines_per_chunk - 1) // lines_per_chunk
-    chans = [("B", PIXEL_FLOAT), ("G", PIXEL_FLOAT), ("R", PIXEL_FLOAT)]
+    chans = [("B", pixel_type), ("G", pixel_type), ("R", pixel_type)]
     chunks = []
     for ci in range(num_chunks):
         y = ci * lines_per_chunk
         n_lines = min(lines_per_chunk, h - y)
-        raw = _interleave_rgb(rgb[y : y + n_lines])
+        raw = _interleave_rgb(rgb[y : y + n_lines], pixel_type)
         data = _encode_chunk(raw, chans, w, n_lines, compression)
         chunks.append(struct.pack("<ii", y, len(data)) + data)
     data_start = len(head) + 8 * num_chunks
@@ -1018,15 +1113,16 @@ def write_exr_tiled(
             f.write(c)
 
 
-def _interleave_rgb(block: np.ndarray) -> bytes:
+def _interleave_rgb(block: np.ndarray, pixel_type: int = PIXEL_FLOAT) -> bytes:
     """(h, w, 3) float32 -> per-scanline channel-planar bytes (B, G, R —
     alphabetical, as the format requires)."""
+    dt = "<f2" if pixel_type == PIXEL_HALF else "<f4"
     out = b""
     for y in range(block.shape[0]):
         out += (
-            block[y, :, 2].astype("<f4").tobytes()
-            + block[y, :, 1].astype("<f4").tobytes()
-            + block[y, :, 0].astype("<f4").tobytes()
+            block[y, :, 2].astype(dt).tobytes()
+            + block[y, :, 1].astype(dt).tobytes()
+            + block[y, :, 0].astype(dt).tobytes()
         )
     return out
 
@@ -1040,12 +1136,16 @@ def _encode_chunk(raw: bytes, chan_sorted, width, n_lines, compression) -> bytes
         comp = zlib.compress(bytes(_predictor_apply(raw)))
     elif compression == PIZ_COMPRESSION:
         comp = _piz_compress(raw, chan_sorted, width, n_lines)
+    elif compression == PXR24_COMPRESSION:
+        comp = _pxr24_compress(raw, chan_sorted, width, n_lines)
     else:
         raise ExrError(f"writer: unsupported compression {compression}")
     return comp if len(comp) < len(raw) else raw
 
 
-def _header_bytes(w, h, compression, tiles_attr: bytes = None) -> bytes:
+def _header_bytes(
+    w, h, compression, tiles_attr: bytes = None, pixel_type: int = PIXEL_FLOAT
+) -> bytes:
     def attr(name: str, typ: str, val: bytes) -> bytes:
         return (
             name.encode() + b"\x00" + typ.encode() + b"\x00"
@@ -1054,7 +1154,7 @@ def _header_bytes(w, h, compression, tiles_attr: bytes = None) -> bytes:
 
     chan = b""
     for c in ("B", "G", "R"):
-        chan += c.encode() + b"\x00" + struct.pack("<iiii", PIXEL_FLOAT, 0, 1, 1)
+        chan += c.encode() + b"\x00" + struct.pack("<iiii", pixel_type, 0, 1, 1)
     chan += b"\x00"
     box = struct.pack("<iiii", 0, 0, w - 1, h - 1)
     header = (

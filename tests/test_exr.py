@@ -1,6 +1,8 @@
 """EXR codec: scanline/tiled round-trips in every compression (incl. PIZ),
 codec-piece inverse properties, texture-loader integration."""
 
+import os
+import struct
 import numpy as np
 import pytest
 
@@ -426,3 +428,93 @@ def test_matches_official_openexr(name):
 def test_dwaa_rejected_gracefully():
     with pytest.raises(E.ExrError, match="DWAA"):
         E.read_exr(_os.path.join(_FIXDIR, "dwaa.exr"))
+
+
+# --------------------------------------------------------------- PXR24
+
+
+def test_pxr24_float_roundtrip(tmp_path):
+    """PXR24 FLOAT is lossy by exactly the 24-bit truncation: reading back
+    must equal float24(x) expanded, never the original."""
+    rs = np.random.RandomState(7)
+    rgb = (rs.standard_normal((37, 23, 3)) * 40).astype(np.float32)
+    rgb[4:8, 4:8] = 0.0
+    p = str(tmp_path / "p24.exr")
+    write_exr(p, rgb, compression=E.PXR24_COMPRESSION)
+    out = read_exr(p)[..., :3]
+    expect = (
+        (E._float_to_float24(rgb.reshape(-1)) << 8)
+        .astype(np.uint32)
+        .view(np.float32)
+        .reshape(rgb.shape)
+    )
+    np.testing.assert_array_equal(out, expect)
+    # the truncation is a real 24-bit float: max relative error 2^-16
+    nz = np.abs(rgb) > 1e-6
+    rel = np.abs(out[nz] - rgb[nz]) / np.abs(rgb[nz])
+    assert rel.max() < 2.0 ** -16
+    # and the zlib'd delta planes actually compress smooth data
+    smooth = np.tile(
+        np.linspace(0, 8, 64, dtype=np.float32)[None, :, None], (64, 1, 3)
+    )
+    p2 = str(tmp_path / "p24s.exr")
+    write_exr(p2, smooth, compression=E.PXR24_COMPRESSION)
+    raw_size = 64 * 64 * 3 * 4
+    assert os.path.getsize(p2) < raw_size * 0.5
+
+
+def test_pxr24_half_channels_lossless(tmp_path):
+    """HALF channels pass through PXR24 losslessly (2-byte delta planes)."""
+    rs = np.random.RandomState(8)
+    rgb = rs.uniform(0, 50, (20, 19, 3)).astype(np.float16).astype(np.float32)
+    p = str(tmp_path / "p24h.exr")
+    write_exr(
+        p, rgb, compression=E.PXR24_COMPRESSION, pixel_type=E.PIXEL_HALF
+    )
+    out = read_exr(p)[..., :3]
+    np.testing.assert_array_equal(out, rgb)
+
+
+def test_pxr24_known_answer():
+    """Hand-built PXR24 chunk decoded against hand-computed expectations
+    (delta byte planes, MSB first, per scanline per channel; FLOAT pixels
+    are 24-bit bits expanded <<8) — pins the byte layout independently of
+    the round-trip."""
+    import struct
+    import zlib
+
+    w = 3
+    vals = np.array([1.0, 2.0, -0.5], np.float32)
+    bits24 = (vals.view(np.uint32) >> 8).astype(np.int64)
+    diffs = np.diff(bits24, prepend=0) & 0xFFFFFF
+    planes = b"".join(
+        bytes((diffs >> sh & 0xFF).astype(np.uint8)) for sh in (16, 8, 0)
+    )
+    raw = zlib.compress(planes)
+    out = E._pxr24_uncompress(raw, [("R", E.PIXEL_FLOAT)], w, 1)
+    got = np.frombuffer(out, "<f4")
+    np.testing.assert_array_equal(got, vals)  # these values are 24-bit exact
+
+
+# --------------------------------------------------------- HALF writer
+
+
+@pytest.mark.parametrize(
+    "compression",
+    [E.NO_COMPRESSION, E.ZIP_COMPRESSION, E.PIZ_COMPRESSION,
+     E.PXR24_COMPRESSION],
+)
+def test_half_writer_roundtrip(tmp_path, compression):
+    """The HALF scanline writer (the dominant interchange format the
+    reference writes via OIIO) round-trips exactly for f16-representable
+    data in every compression."""
+    rs = np.random.RandomState(9)
+    rgb = rs.uniform(0, 100, (37, 23, 3)).astype(np.float16).astype(np.float32)
+    p = str(tmp_path / f"h{compression}.exr")
+    write_exr(p, rgb, compression=compression, pixel_type=E.PIXEL_HALF)
+    out = read_exr(p)[..., :3]
+    np.testing.assert_array_equal(out, rgb)
+    # header really declares HALF channels
+    data = open(p, "rb").read()
+    ci = data.index(b"channels\x00chlist\x00")
+    assert struct.unpack_from("<i", data, ci + 22)[0] == E.PIXEL_HALF
