@@ -101,11 +101,33 @@ scene = SceneData.load({scene_path!r})
 opt = RenderOptions(**{opt_kwargs!r})
 mesh = make_global_mesh({tile}, {sample})
 r = DistributedRenderer(scene, mesh, mode="pallas")
-accum = r.render_accum(opt)
-from jax.experimental import multihost_utils
-full = multihost_utils.process_allgather(accum, tiled=True)
-if jax.process_index() == 0:
-    np.save({out_path!r}, np.asarray(full))
+job = {job!r}
+if job == "train":
+    # one distributed optimization step: the parameter-gradient psum over
+    # ('tile', 'sample') crosses PROCESS boundaries — i.e. rides DCN on a
+    # real pod (mesh.py make_train_step)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    H, W = opt.height, opt.width
+    target = np.zeros((H, W, 3), np.float32)
+    tgt = jax.make_array_from_callback(
+        (H, W, 3),
+        NamedSharding(mesh, P("tile", None, None)),
+        lambda idx: target[idx],
+    )
+    loss = r.train_step(opt, tgt, lr=0.1)
+    if jax.process_index() == 0:
+        np.savez(
+            {out_path!r},
+            loss=np.float32(loss),
+            refl=np.asarray(r.params["mat_reflectance"]),
+        )
+else:
+    accum = r.render_accum(opt)
+    from jax.experimental import multihost_utils
+    full = multihost_utils.process_allgather(accum, tiled=True)
+    if jax.process_index() == 0:
+        np.save({out_path!r}, np.asarray(full))
 """
 
 
@@ -118,9 +140,12 @@ def spawn_local_processes(
     out_path: str,
     port: int = 12421,
     timeout: float = 600.0,
+    job: str = "render",
 ) -> np.ndarray:
-    """Run a real multi-process CPU render on this machine; returns the
-    image accumulated across processes (the 2-host scaling test stand-in)."""
+    """Run a real multi-process CPU job on this machine; ``job`` is
+    'render' (returns the cross-process image) or 'train' (one distributed
+    train_step; returns an npz with loss + updated reflectances) — the
+    2-host scaling/training test stand-in."""
     import subprocess
     import sys
 
@@ -135,6 +160,7 @@ def spawn_local_processes(
             tile=tile,
             sample=sample,
             out_path=out_path,
+            job=job,
         )
         procs.append(
             subprocess.Popen(
