@@ -110,23 +110,32 @@ class _MaterialNodes:
 
 
 class SceneCompiler:
-    def __init__(self, raw: RawScene) -> None:
+    def __init__(self, raw: RawScene, float_textures: bool = False) -> None:
         self.raw = raw
+        self.float_textures = float_textures
         self.nodes = _MaterialNodes()
         self.mat_index_to_root: Dict[int, int] = {}
         self.tex_cache: Dict[str, int] = {}
         self.emissive_cache: Dict[int, int] = {}
         self.mat_ref_list: List[str] = []
         self.tex_blobs: List[np.ndarray] = []
-        self.tex_meta: List = []  # (offset, width, height, format)
+        self.tex_blobs_u8: List[np.ndarray] = []
+        self.tex_meta: List = []  # (offset, width, height, format, store)
         self.tex_cursor = 0
+        self.tex_cursor_u8 = 0
         self.scene_diffuse_mat = -1
         self.scene_emissive_mat = -1
 
     # ----- materials -----
 
     def _bake_texture(self, mat, tex_path: str) -> int:
-        """Load + dedupe a texture into the flat atlas (compiler.go:507-563)."""
+        """Load + dedupe a texture into the flat atlas (compiler.go:507-563).
+
+        LDR sources keep BYTE storage (texture_fmt.go:5-10 Luminance8 /
+        Rgba8; 4-16x less HBM) unless the scene was compiled with
+        ``float_textures=True`` (differentiable-texture training needs the
+        atlas as an f32 leaf). ``v*255`` round-trips the loader's ``v/255``
+        exactly, so images are bit-identical either way."""
         try:
             res = Resource(tex_path, rel_to=mat.asset_dir)
         except Exception:
@@ -135,11 +144,24 @@ class SceneCompiler:
         if res.path in self.tex_cache:
             return self.tex_cache[res.path]
         tex = load_texture(res)
-        flat = tex.data.reshape(-1).astype(np.float32)
-        offset = self.tex_cursor
-        self.tex_blobs.append(flat)
-        self.tex_cursor += flat.size
-        self.tex_meta.append((offset, tex.width, tex.height, tex.format))
+        from ..texture import LUMINANCE8, RGBA8
+
+        if not self.float_textures and tex.format in (LUMINANCE8, RGBA8):
+            if tex.format == LUMINANCE8:
+                src, store = tex.data[..., 0], 2
+            else:
+                src, store = tex.data, 1
+            by = np.clip(np.rint(src * 255.0), 0, 255).astype(np.uint8)
+            offset = self.tex_cursor_u8
+            self.tex_blobs_u8.append(by.reshape(-1))
+            self.tex_cursor_u8 += by.size
+        else:
+            flat = tex.data.reshape(-1).astype(np.float32)
+            offset = self.tex_cursor
+            self.tex_blobs.append(flat)
+            self.tex_cursor += flat.size
+            store = 0
+        self.tex_meta.append((offset, tex.width, tex.height, tex.format, store))
         idx = len(self.tex_meta) - 1
         self.tex_cache[res.path] = idx
         return idx
@@ -487,6 +509,12 @@ class SceneCompiler:
                 tex_width=np.array([m[1] for m in self.tex_meta] + [1], np.int32),
                 tex_height=np.array([m[2] for m in self.tex_meta] + [1], np.int32),
                 tex_format=np.array([m[3] for m in self.tex_meta] + [0], np.int32),
+                tex_store=np.array([m[4] for m in self.tex_meta] + [0], np.int32),
+                tex_data_u8=(
+                    np.concatenate(self.tex_blobs_u8)
+                    if self.tex_blobs_u8
+                    else np.zeros(0, np.uint8)
+                ),
                 scene_diffuse_mat=self.scene_diffuse_mat,
                 scene_emissive_mat=self.scene_emissive_mat,
                 camera_fov=float(raw.camera.fov),
@@ -498,6 +526,10 @@ class SceneCompiler:
         return scene
 
 
-def compile_scene(raw: RawScene) -> SceneData:
-    """Compile a parsed scene into flat device arrays (ref: Compile)."""
-    return SceneCompiler(raw).compile()
+def compile_scene(raw: RawScene, float_textures: bool = False) -> SceneData:
+    """Compile a parsed scene into flat device arrays (ref: Compile).
+
+    ``float_textures=True`` stores LDR textures in the float32 atlas
+    (differentiable leaf) instead of their native byte storage — required
+    when training texture parameters (render/trainer.py)."""
+    return SceneCompiler(raw, float_textures=float_textures).compile()

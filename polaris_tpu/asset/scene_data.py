@@ -132,6 +132,20 @@ class SceneData:
         default_factory=lambda: np.array([0, 1, 0], np.float32)
     )
 
+    # --- byte texture storage (ref: texture_fmt.go:5-10) ---
+    # LDR sources keep their byte storage (Rgba8 interleaved / Luminance8
+    # single channel) and dequantize on sample — 4-16x less HBM than the
+    # float atlas for the same texels. Float sources (EXR/HDR/F-mode) and
+    # scenes compiled with float_textures=True (differentiable-texture
+    # training) stay in ``tex_data``. tex_store: 0 = f32, 1 = rgba8,
+    # 2 = luminance8 (offsets index the matching array).
+    tex_store: np.ndarray = field(
+        default_factory=lambda: np.zeros(0, np.int32)
+    )
+    tex_data_u8: np.ndarray = field(
+        default_factory=lambda: np.zeros(0, np.uint8)
+    )
+
     # ----- stats (ref: optimized_scene.go:193-242) -----
 
     @property
@@ -156,7 +170,10 @@ class SceneData:
             "Mesh instances": (int(self.inst_bvh_root.shape[0]), nb(self.inst_w2o, self.inst_o2w, self.inst_bvh_root, self.inst_mesh_index)),
             "Emissive primitives": (int(self.emis_area.shape[0]), nb(self.emis_o2w, self.emis_area, self.emis_tri, self.emis_mat, self.emis_type)),
             "Material nodes": (int(self.mat_type.shape[0]), nb(self.mat_type, self.mat_left, self.mat_right, self.mat_reflectance, self.mat_specularity, self.mat_transmittance, self.mat_radiance)),
-            "Textures": (int(self.tex_offset.shape[0]), nb(self.tex_data)),
+            "Textures": (
+                int(self.tex_offset.shape[0]),
+                nb(self.tex_data, self.tex_data_u8),
+            ),
         }
 
     # ----- persistence (≙ compiled-scene zip artifact) -----
@@ -216,11 +233,17 @@ class SceneData:
         # lets the texture sampler resolve per-lane table lookups as cheap
         # where-selects and build its single-lookup neighborhood atlas with
         # static shapes (ops/texture.py) — zero-leaf pytree node, jit-static
+        n_tex = int(self.tex_offset.shape[0])
+        store = (
+            self.tex_store
+            if self.tex_store.shape[0] == n_tex
+            else np.zeros(n_tex, np.int32)  # pre-round-4 artifacts: all f32
+        )
         geom["_tex_meta"] = Static(
             tex=tuple(
-                (int(o), int(w), int(h))
-                for o, w, h in zip(
-                    self.tex_offset, self.tex_width, self.tex_height
+                (int(o), int(w), int(h), int(s))
+                for o, w, h, s in zip(
+                    self.tex_offset, self.tex_width, self.tex_height, store
                 )
             )
         )

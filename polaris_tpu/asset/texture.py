@@ -65,19 +65,28 @@ def load_texture(res) -> Texture:
     return _load_pil(path)
 
 
+# byte -> float scaling: a MULTIPLY by the f32-rounded reciprocal, not a
+# true division. XLA rewrites x/255.0 to x*(1/255) inside programs, so the
+# device-side dequantization of byte-stored textures (ops/texture.py) can
+# only be bit-identical to the load-time conversion if the host applies
+# the exact same multiply. numpy and XLA both round a*b exactly, so every
+# consumer (oracle, device, u8 or f32 storage) sees identical values.
+INV255 = np.float32(1.0 / 255.0)
+
+
 def _load_pil(path: str) -> Texture:
     from PIL import Image
 
     img = Image.open(path)
     if img.mode in ("L", "I;16", "I"):
-        arr = np.asarray(img.convert("L"), dtype=np.float32) / 255.0
+        arr = np.asarray(img.convert("L"), dtype=np.float32) * INV255
         rgba = np.stack([arr, arr, arr, np.ones_like(arr)], axis=-1)
         return Texture(rgba.astype(np.float32), LUMINANCE8)
     if img.mode == "F":
         arr = np.asarray(img, dtype=np.float32)
         rgba = np.stack([arr, arr, arr, np.ones_like(arr)], axis=-1)
         return Texture(rgba.astype(np.float32), LUMINANCE32F)
-    rgba = np.asarray(img.convert("RGBA"), dtype=np.float32) / 255.0
+    rgba = np.asarray(img.convert("RGBA"), dtype=np.float32) * INV255
     return Texture(rgba.astype(np.float32), RGBA8)
 
 

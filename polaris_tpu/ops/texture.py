@@ -41,43 +41,68 @@ def _meta(S):
     return rows if rows else None
 
 
+def _nb_one(xp, S, off, w, h, store, nc):
+    """One texture's (h*w, 4*nc) neighborhood rows in its NATIVE dtype."""
+    if store == 0:
+        t = S["tex_data"][off : off + w * h * 4].reshape(h, w, 4)[..., :nc]
+    elif store == 1:  # Rgba8: interleaved bytes, dequantized post-gather
+        t = S["tex_data_u8"][off : off + w * h * 4].reshape(h, w, 4)[..., :nc]
+    else:  # Luminance8: single channel, replicated like the f32 loader did
+        t = S["tex_data_u8"][off : off + w * h].reshape(h, w, 1)
+        if nc > 1:
+            t = xp.broadcast_to(t, (h, w, nc))
+    xi = np.minimum(np.arange(w) + 1, w - 1)
+    yi = np.minimum(np.arange(h) + 1, h - 1)
+    tr = t[:, xi]
+    b = t[yi]
+    return xp.concatenate([t, tr, b, b[:, xi]], axis=-1).reshape(w * h, 4 * nc)
+
+
 def _nb_atlas(xp, S, rows, nc):
-    """(T_texels, 4*nc) neighborhood atlas: texel (y, x) holds the four
+    """Per-storage-family neighborhood atlases: texel (y, x) holds the four
     corners [t(y,x), t(y,bx), t(by,x), t(by,bx)] — ``nc`` components each
     (3 = RGB bilinear, 1 = red-channel / bump taps; alpha is never sampled
     by any consumer, and the per-lane lookup cost is per ELEMENT, so smaller
     rows are proportionally cheaper) — with bx/by clamped at the edge (the
     reference clamps rather than wraps the +1 texel,
-    texture_sampler.cl:124-141). Built from ``tex_data`` with static-index
-    ops only — differentiable, loop-invariant, and identical in jax/numpy."""
-    parts = []
-    for off, w, h in rows:
-        t = S["tex_data"][off : off + w * h * 4].reshape(h, w, 4)[..., :nc]
-        xi = np.minimum(np.arange(w) + 1, w - 1)
-        yi = np.minimum(np.arange(h) + 1, h - 1)
-        tr = t[:, xi]
-        b = t[yi]
-        parts.append(
-            xp.concatenate([t, tr, b, b[:, xi]], axis=-1).reshape(
-                w * h, 4 * nc
-            )
+    texture_sampler.cl:124-141). Built from the atlases with static-index
+    ops only — differentiable (f32 family), loop-invariant, identical in
+    jax/numpy. Byte textures (texture_fmt.go Luminance8/Rgba8) KEEP their
+    u8 dtype through the neighborhood table and the per-lane gather —
+    dequantization happens after the 4*nc-element fetch — so their HBM
+    footprint stays 4x smaller end to end.
+
+    Returns (nb_f32 or None, nb_u8 or None)."""
+    parts = {0: [], 1: []}
+    for off, w, h, store in rows:
+        parts[0 if store == 0 else 1].append(
+            _nb_one(xp, S, off, w, h, store, nc)
         )
-    return xp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+    def cat(ps):
+        if not ps:
+            return None
+        return xp.concatenate(ps, axis=0) if len(ps) > 1 else ps[0]
+
+    return cat(parts[0]), cat(parts[1])
 
 
 def _nb_fetch(xp, S, uv, tex_idx, rows, nc=3):
-    """uv -> (corners (N,4*nc), cx, cy) via one contiguous lookup."""
-    nb_off = 0
+    """uv -> (corners (N,4*nc) f32, cx, cy) via one contiguous lookup per
+    storage family present (one for all-f32 or all-byte scenes)."""
+    offs = {0: 0, 1: 0}
     tab = []
-    for off, w, h in rows:
-        tab.append((nb_off, w, h))
-        nb_off += w * h
+    for off, w, h, store in rows:
+        fam = 0 if store == 0 else 1
+        tab.append((offs[fam], w, h, fam))
+        offs[fam] += w * h
     tab = np.asarray(tab, np.int32)
     safe_idx = xp.maximum(tex_idx, 0)
-    row = V.take_small(xp, xp.asarray(tab), safe_idx)  # (N, 3) where-selects
+    row = V.take_small(xp, xp.asarray(tab), safe_idx)  # (N, 4) where-selects
     off = row[..., 0]
     w = row[..., 1]
     h = row[..., 2]
+    fam = row[..., 3]
     wf = w.astype(uv.dtype)
     hf = h.astype(uv.dtype)
     su = (uv[..., 0] - xp.floor(uv[..., 0])) * wf
@@ -86,8 +111,22 @@ def _nb_fetch(xp, S, uv, tex_idx, rows, nc=3):
     ty = xp.clip(sv.astype(h.dtype), 0, h - 1)
     cx = su - tx.astype(uv.dtype)
     cy = sv - ty.astype(uv.dtype)
-    nb = _nb_atlas(xp, S, rows, nc)
-    q = nb[off + ty * w + tx]  # ONE (1, 4*nc)-slice gather per lane
+    nb_f, nb_u = _nb_atlas(xp, S, rows, nc)
+    idx = off + ty * w + tx
+
+    def dequant(q):
+        # the loader's exact multiply (asset/texture.py INV255): byte and
+        # float storage produce bit-identical samples in both backends
+        return q.astype(uv.dtype) * np.float32(1.0 / 255.0)
+
+    if nb_u is None:
+        q = nb_f[idx]
+    elif nb_f is None:
+        q = dequant(nb_u[idx])
+    else:  # mixed scene: one gather per family, lanes pick theirs
+        qf = nb_f[xp.clip(idx, 0, nb_f.shape[0] - 1)]
+        qu = dequant(nb_u[xp.clip(idx, 0, nb_u.shape[0] - 1)])
+        q = xp.where((fam == 1)[..., None], qu, qf)
     return q, cx, cy
 
 

@@ -86,4 +86,7 @@ def textured_scene(scenes_dir, tmp_path_factory):
         "v -0.7 2.8 -0.7\nv 0.7 2.8 -0.7\nv 0.7 2.8 0.7\nv -0.7 2.8 0.7\n"
         "usemtl lamp\nf 9 10 11 12\n"
     )
-    return compile_scene(read_scene(str(d / "t.obj")))
+    # float_textures: the gradient/trainer tests differentiate tex_data,
+    # which requires the f32 atlas (byte storage is the u8 default —
+    # tests/test_compiler.py::test_byte_texture_storage covers that path)
+    return compile_scene(read_scene(str(d / "t.obj")), float_textures=True)
