@@ -75,6 +75,11 @@ def _add_render_opts(p: argparse.ArgumentParser) -> None:
     p.add_argument("--debug", default=None,
                    help="render a debug channel: depth|normals|uv|hitmask|"
                         "instance|emissive_vis|throughput|accumulator")
+    p.add_argument("--adaptive", type=float, default=0.0, metavar="TOL",
+                   help="adaptive per-block sampling: --spp becomes the "
+                        "budget cap; 32x32 blocks stop once the mean 95%% "
+                        "CI of per-pixel luminance falls below TOL "
+                        "(try 0.02; 0 = off)")
     p.add_argument("--rr-tile-coherent", action="store_true",
                    help="draw the Russian-roulette uniform per 32x32 block "
                         "instead of per lane: unbiased, no measured variance "
@@ -167,7 +172,20 @@ def cmd_render_frame(args) -> int:
     t0 = time.perf_counter()
     if pool is None and mesh is None:
         with jax.default_device(devices[0]):
-            img = renderer.render(opt)
+            if getattr(args, "adaptive", 0.0) > 0:
+                import numpy as _np
+
+                img_u8, spp_map = renderer.render_adaptive_u8(
+                    opt, tol=args.adaptive
+                )
+                img = img_u8.astype(_np.float32) / 255.0
+                _log.info(
+                    "adaptive: spp min/mean/max %d/%.1f/%d (budget %d)",
+                    int(spp_map.min()), float(spp_map.mean()),
+                    int(spp_map.max()), opt.spp,
+                )
+            else:
+                img = renderer.render(opt)
     else:
         img = renderer.render(opt)
     total_ms = (time.perf_counter() - t0) * 1e3

@@ -157,6 +157,9 @@ def make_sorted_pass():
     return wrap
 
 
+TILE_LANES = 1024  # lanes per traversal tile == pixels per 32x32 block
+
+
 def blocked_pixel_order(width: int, height: int, block: int = 32):
     """Host-side lane->pixel mapping in block x block screen tiles.
 
@@ -214,6 +217,7 @@ def render_sample_block(
     compact: bool = False,
     unroll: bool = False,
     rr_tile_coherent: bool = False,
+    active_init=None,
 ):
     """Trace ONE sample for a block of pixels; returns radiance [N, 3].
 
@@ -228,7 +232,9 @@ def render_sample_block(
     ray_o, ray_d = gen_rays(jnp, frustum, eye, width, height, pixel_x, pixel_y, U0)
     throughput = jnp.ones((n, 3), jnp.float32)
     flags = jnp.zeros(n, jnp.uint32)
-    alive = jnp.ones(n, bool)
+    # adaptive sampling masks whole 32x32 blocks off; dead tiles then skip
+    # traversal outright (the kernels' all-dead-tile vote)
+    alive = jnp.ones(n, bool) if active_init is None else active_init
     radiance = jnp.zeros((n, 3), jnp.float32)
     maxt = jnp.full(n, V.FLT_MAX, jnp.float32)
 
@@ -576,6 +582,158 @@ class TpuRenderer:
         accum = self.render_accum(opt, camera)
         img = tonemap_reinhard(jnp, accum, 1.0 / opt.spp, opt.exposure)
         return np.asarray(img)
+
+    # ----- adaptive per-block sampling (round-4 VERDICT weak #3) -----
+    #
+    # The TPU-native answer to the reference's compaction queues
+    # (pt_integrator.cl:49-64): instead of compacting lanes, whole 32x32
+    # screen blocks stop drawing samples once their per-pixel variance says
+    # they converged. A masked block's traversal tiles are all-dead and the
+    # kernels skip them outright, so a stopped block costs ~nothing. The
+    # RNG's absolute sample indices make the result reproducible: a block
+    # that stopped at n samples holds exactly the accumulator a fixed
+    # n-sample render would produce (tests/test_adaptive.py pins this).
+
+    def _get_adaptive_fn(self, opt: RenderOptions, chunk: int):
+        key = ("adapt", opt.width, opt.height, chunk, opt.num_bounces,
+               opt.min_bounces_for_rr, opt.rr_tile_coherent)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        W, H = opt.width, opt.height
+        n = W * H
+        h_xs, h_ys, h_pix, _ = blocked_pixel_order(W, H)
+        nblocks = -(-n // TILE_LANES)
+        lane_block = np.minimum(
+            np.arange(n, dtype=np.int64) // TILE_LANES, nblocks - 1
+        ).astype(np.int32)
+        pad = nblocks * TILE_LANES - n
+
+        def fn(geom, params, frustum, eye, seed, sample_offset,
+               block_active, block_spp, accum, lsum, l2sum):
+            S = {**geom, **params}
+            act = block_active[jnp.asarray(lane_block)]
+            xs = jnp.asarray(h_xs)
+            ys = jnp.asarray(h_ys)
+            pixel_idx = jnp.asarray(h_pix)
+
+            def sample_body(s, carry):
+                accum, lsum, l2sum = carry
+                rad = render_sample_block(
+                    S,
+                    self.closest,
+                    self.any_hit,
+                    frustum=frustum,
+                    eye=eye,
+                    width=W,
+                    height=H,
+                    pixel_x=xs,
+                    pixel_y=ys,
+                    pixel_idx=pixel_idx,
+                    sample_idx=sample_offset + s,
+                    seed=seed,
+                    num_bounces=opt.num_bounces,
+                    min_bounces_for_rr=opt.min_bounces_for_rr,
+                    num_emissives=self.num_emissives,
+                    scene_diffuse_mat=self.scene_diffuse_mat,
+                    material_depth=self.material_depth,
+                    closest_bounce=self.closest_bounce,
+                    rr_tile_coherent=opt.rr_tile_coherent,
+                    compact=self.compact,
+                    unroll=self.sort_rays,
+                    active_init=act,
+                )
+                lum = V.luminance(jnp, rad)
+                return accum + rad, lsum + lum, l2sum + lum * lum
+
+            accum, lsum, l2sum = jax.lax.fori_loop(
+                0, chunk, sample_body, (accum, lsum, l2sum)
+            )
+            # per-block convergence stat: 95% CI of the mean per-sample
+            # luminance, relative to the mean (0.05 floor keeps black and
+            # near-black blocks from never converging)
+            ns = jnp.maximum(block_spp[jnp.asarray(lane_block)], 1.0)
+            mean = lsum / ns
+            var = jnp.maximum(l2sum / ns - mean * mean, 0.0)
+            ci = 1.96 * jnp.sqrt(var / ns) / (mean + 0.05)
+            ci = jnp.pad(ci, (0, pad))
+            # block stat = mean per-pixel CI: a max would let one firefly
+            # pixel hold a whole block at full budget forever
+            block_ci = ci.reshape(nblocks, TILE_LANES).sum(axis=1) / float(
+                TILE_LANES
+            )
+            return accum, lsum, l2sum, block_ci
+
+        fn = jax.jit(fn)
+        self._jit_cache[key] = fn
+        return fn
+
+    def render_adaptive(
+        self,
+        opt: RenderOptions,
+        camera: Optional[Camera] = None,
+        *,
+        tol: float = 0.02,
+        chunk: int = 0,
+        min_spp: int = 0,
+    ):
+        """Variance-driven adaptive render. ``opt.spp`` is the per-pixel
+        budget CAP; blocks stop early once converged (95% CI of mean
+        luminance below ``tol`` relative). Returns ``(accum [H,W,3],
+        spp_map [H,W] int32)`` — divide per pixel to get the image."""
+        W, H = opt.width, opt.height
+        n = W * H
+        nblocks = -(-n // TILE_LANES)
+        chunk = chunk or min(self.spp_per_launch, opt.spp)
+        min_spp = min_spp or min(2 * chunk, opt.spp)
+        fn = self._get_adaptive_fn(opt, chunk)
+        cam = camera or Camera.from_scene(self.scene, W, H)
+        accum = jnp.zeros((n, 3), jnp.float32)
+        lsum = jnp.zeros(n, jnp.float32)
+        l2sum = jnp.zeros(n, jnp.float32)
+        block_active = np.ones(nblocks, bool)
+        block_spp = np.zeros(nblocks, np.int32)
+        done = 0
+        total_ms = 0.0
+        while done < opt.spp and block_active.any():
+            block_spp_new = block_spp + np.where(block_active, chunk, 0)
+            with Timer() as t:
+                accum, lsum, l2sum, block_ci = fn(
+                    self.geom,
+                    self.params,
+                    jnp.asarray(cam.frustum),
+                    jnp.asarray(cam.position),
+                    jnp.uint32(opt.seed),
+                    jnp.int32(done),
+                    jnp.asarray(block_active),
+                    jnp.asarray(block_spp_new, jnp.float32),
+                    accum, lsum, l2sum,
+                )
+                accum.block_until_ready()
+            total_ms += t.ms
+            block_spp = block_spp_new
+            done += chunk
+            if done >= min_spp:
+                block_active &= np.asarray(block_ci) > tol
+        self.last_render_ms = total_ms
+        self.last_spp_blocks = block_spp
+        lane_block = np.minimum(
+            np.arange(n, dtype=np.int64) // TILE_LANES, nblocks - 1
+        )
+        _, _, h_pix, h_inv = blocked_pixel_order(W, H)
+        spp_lane = block_spp[lane_block]
+        accum = np.asarray(accum)[h_inv].reshape(H, W, 3)
+        spp_map = spp_lane[h_inv].reshape(H, W).astype(np.int32)
+        return accum, spp_map
+
+    def render_adaptive_u8(
+        self, opt: RenderOptions, camera: Optional[Camera] = None, **kw
+    ):
+        accum, spp_map = self.render_adaptive(opt, camera, **kw)
+        img = tonemap_reinhard(
+            np, accum, 1.0 / spp_map[..., None].astype(np.float32),
+            opt.exposure,
+        )
+        return (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8), spp_map
 
     # ----- row-band rendering (feedback-scheduler work units) -----
 

@@ -105,6 +105,22 @@ def test_cli_scene_compile_info_and_render(tmp_path, scenes_dir):
     assert "TOTAL" in r.stdout
 
 
+def test_cli_adaptive_render(tmp_path, scenes_dir):
+    obj = os.path.join(scenes_dir, "cornell.obj")
+    r = _run_cli(
+        [
+            "-v", "render", "frame", obj, "--width", "64", "--height", "64",
+            "--spp", "8", "--num-bounces", "2", "--mode", "bvh",
+            "--adaptive", "0.3",
+            "--out", str(tmp_path / "a.png"),
+        ],
+        str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr
+    assert (tmp_path / "a.png").exists()
+    assert "adaptive: spp min/mean/max" in (r.stderr + r.stdout)
+
+
 def test_cli_debug_channel(tmp_path, scenes_dir):
     obj = os.path.join(scenes_dir, "cornell.obj")
     r = _run_cli(
