@@ -28,11 +28,14 @@ def main():
     results = []
     # (grid, mode, label): 320k tris fits streamed-triangles at leaf 48;
     # forcing pallas_nodes isolates the node-streaming cost on the same
-    # scene; 819k tris busts the node budget so auto engages pallas_nodes
+    # scene; 819k tris busts the node budget so auto engages the 8-wide
+    # resident-forest kernel (round 4); the forced pallas_nodes row keeps
+    # the streamed-binary comparison measured
     cases = [
         (400, "auto", "terrain320k_auto"),
         (400, "pallas_nodes", "terrain320k_nodes"),
         (640, "auto", "terrain819k_auto"),
+        (640, "pallas_nodes", "terrain819k_nodes"),
     ]
     for grid, mode, label in cases:
         t0 = time.time()

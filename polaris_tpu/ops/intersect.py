@@ -341,9 +341,12 @@ def make_intersectors(
             # DMA'd on demand (big-scene path)
             mode = "pallas_stream"
         else:
-            # even the nodes bust SMEM: stream node records from HBM with a
-            # depth-ordered resident prefix (no scene-size ceiling)
-            mode = "pallas_nodes"
+            # even the nodes bust SMEM: 8-wide collapse divides node count
+            # by ~7 so the whole forest stays resident to ~25M tris (round-4
+            # A/B on terrain819k: 5.74 vs 5.65 Mrays/s for the streamed
+            # binary kernel; both are leaf-MT-bound — docs/perf.md round 4);
+            # beyond that the same kernel streams node records from HBM
+            mode = "pallas8_nodes"
 
     if mode == "pallas_stream":
         import jax.numpy as jnp
@@ -390,6 +393,34 @@ def make_intersectors(
 
         def any_hit(S, o, d, maxt, active):
             return intersect_pallas_nodes(PN, o, d, maxt, active, any_hit=True).mask
+
+        return closest, any_hit
+
+    if mode == "pallas8_nodes":
+        import jax.numpy as jnp
+
+        from .intersect_pallas8_nodes import (
+            intersect_pallas8_nodes,
+            pack_scene8_nodes,
+        )
+
+        import os
+
+        res_kb = int(os.environ.get("POLARIS_RESIDENT_KB", "864"))
+        P8N = {
+            k: (v if k == "p8n_resident" else jnp.asarray(v))
+            for k, v in pack_scene8_nodes(
+                scene, resident_bytes=res_kb * 1024
+            ).items()
+        }
+
+        def closest(S, o, d, maxt, active):
+            return intersect_pallas8_nodes(P8N, o, d, maxt, active, any_hit=False)
+
+        def any_hit(S, o, d, maxt, active):
+            return intersect_pallas8_nodes(
+                P8N, o, d, maxt, active, any_hit=True
+            ).mask
 
         return closest, any_hit
 

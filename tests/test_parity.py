@@ -98,6 +98,41 @@ def test_pallas_nodes_terrain_parity():
     np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-3)
 
 
+def test_pallas8_nodes_matches_smem(cornell_scene, monkeypatch):
+    """The 8-wide streamed kernel (big-scene path round 4: wide nodes +
+    resident prefix + HBM window DMA for nodes AND triangles) must produce
+    EXACTLY the same image with a forced-tiny resident prefix (nearly every
+    node visit streams) as with the full forest resident — pinning the
+    window-cache/DMA machinery — and match the binary in-SMEM kernel's
+    image bit-for-bit (same det^2-scaled leaf arithmetic; the wide visit
+    order may only differ on exact ties, absent here)."""
+    opt = RenderOptions(width=32, height=32, spp=1, num_bounces=2, min_bounces_for_rr=3)
+    smem = np.asarray(TpuRenderer(cornell_scene, mode="pallas").render_accum(opt))
+    full = np.asarray(
+        TpuRenderer(cornell_scene, mode="pallas8_nodes").render_accum(opt)
+    )
+    monkeypatch.setenv("POLARIS_RESIDENT_KB", "1")
+    tiny = np.asarray(
+        TpuRenderer(cornell_scene, mode="pallas8_nodes").render_accum(opt)
+    )
+    np.testing.assert_array_equal(tiny, full)
+    np.testing.assert_array_equal(full, smem)
+
+
+def test_pallas8_nodes_terrain_parity():
+    """Instanced terrain through the 8-wide streamed kernel vs the
+    independent per-lane XLA traversal."""
+    from polaris_tpu.asset.compiler.compiler import compile_scene
+    from polaris_tpu.asset.procedural import make_terrain_scene
+
+    scene = compile_scene(make_terrain_scene(grid=32))
+    opt = RenderOptions(width=24, height=24, spp=1, num_bounces=2, min_bounces_for_rr=3)
+    ref = np.asarray(TpuRenderer(scene, mode="bvh").render_accum(opt))
+    got = np.asarray(TpuRenderer(scene, mode="pallas8_nodes").render_accum(opt))
+    assert ref.mean() > 0.01
+    np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-3)
+
+
 def test_pallas_stream_matches_smem(cornell_scene):
     """The HBM triangle-streaming kernel (big-scene path: leaves DMA'd into
     SMEM on demand) must produce EXACTLY the in-SMEM kernel's image."""
