@@ -30,6 +30,46 @@ _log = get_logger("cpu renderer")
 
 _CHUNK = 1024  # rays per brute-force chunk (bounds the N x T work matrix)
 
+# ---- decision-stability probing (docs/parity.md #14) ----
+# A float32 render is not a well-defined function of the scene on lanes
+# where an epsilon/branch decision sits within input-ulp noise of its
+# boundary: NumPy and XLA round identical formulas differently (FMA,
+# association), the resulting rays differ by ~1 ulp, and Möller–Trumbore
+# amplifies that by |terms|/|det| (measured: 1 ulp of shadow-ray direction
+# moved u+v by 1.2e-5 at det = -6.2e-4 — 200x per ulp). The oracle
+# therefore *forward-identifies* such lanes by probing every near-boundary
+# decision under perturbations PROBE_ETA ~ 16x the real 1-ulp noise; the
+# full-resolution gates demand exactness on all stable lanes and bound the
+# unstable fraction. This is an a-priori analysis, not post-hoc diffing.
+PROBE_ETA = 1e-6  # ~16 f32 ulps at unit scale
+# cap for the propagated per-lane noise estimate: the MEASURED cross-
+# backend divergence envelope (sphere 3-bounce np-vs-jnp-shade pipeline:
+# median 3e-8, p99 3e-7, max 3.6e-6) plus margin — the conservative band
+# model's grazing-det tails would otherwise compound ~100x beyond reality
+NOISE_CAP = 4e-6
+_PROBE_PATTERNS = (
+    np.array([1.0, -1.0, 1.0], np.float32),
+    np.array([-0.5, 1.0, 1.0], np.float32),
+)
+
+
+def _probe_rays(o, d, eta=None):
+    """Yield noise-scale perturbed copies of the given rays (4 probes).
+
+    ``eta`` is the per-lane input noise scale (defaults to PROBE_ETA): the
+    forward noise-propagation analysis (render_accum stability loop) grows
+    it along paths whose shading amplifies input noise — e.g. dispersive
+    refraction chains — so later-bounce probes perturb at the noise the
+    lane has actually accumulated, not at primary-ray ulps."""
+    e = np.float32(PROBE_ETA) if eta is None else eta[:, None]
+    for p in _PROBE_PATTERNS:
+        for sgn in (np.float32(1.0), np.float32(-1.0)):
+            dp = (d + (sgn * e) * p).astype(np.float32)
+            op = (o + (sgn * e) * p * np.maximum(1.0, np.abs(o))).astype(
+                np.float32
+            )
+            yield op, dp
+
 
 def _collect_blas_triangles(scene: SceneData, root: int) -> np.ndarray:
     """Walk a BLAS subtree host-side and return its triangle indices.
@@ -93,6 +133,243 @@ class CpuRenderer:
         rows = np.arange(t.shape[0])
         return t[rows, best], best, u[rows, best], v[rows, best]
 
+    def _mt_risk(self, o, d, maxt, tris, mult=1.0):
+        """Per-ray decision-risk info vs one triangle set (docs/parity.md #14).
+
+        Returns (possible, solid, risky_c, t1, B1, t2, B2):
+          possible — some candidate accepted under *loosened* boundary bands
+          solid    — some candidate accepted under *tightened* bands
+          risky_c  — some candidate whose acceptance differs between the two
+                     (its validity is not decided at f32 + input-ulp noise)
+          t1,t2    — two smallest nominally-valid candidate ts (inf pad)
+          B1,B2    — their uv-space noise bands
+
+        The band B = 5e-7/|det| is the measured MT amplification of
+        PROBE_ETA-sized input noise (1 ulp of ray direction moved u+v by
+        1.2e-5 at |det| = 6.2e-4 on the sphere terminator incident), with a
+        4x safety factor; bands are deliberate supersets — _probe_* then
+        decides actual instability on the flagged subset.
+        """
+        v0 = self.scene.tri_v0[tris]
+        e1 = self.scene.tri_e1[tris]
+        e2 = self.scene.tri_e2[tris]
+        pvec = np.cross(d[:, None, :], e2[None, :, :])
+        det = np.einsum("tj,ctj->ct", e1, pvec)
+        absdet = np.abs(det)
+        safe = absdet > 1e-12
+        inv = np.where(safe, 1.0 / np.where(safe, det, 1.0), 0.0)
+        tvec = o[:, None, :] - v0[None, :, :]
+        u = np.einsum("ctj,ctj->ct", tvec, pvec) * inv
+        qvec = np.cross(tvec, e1[None, :, :])
+        v = np.einsum("cj,ctj->ct", d, qvec) * inv
+        t = np.einsum("tj,ctj->ct", e2, qvec) * inv
+        eps = V.INTERSECTION_EPSILON
+        # B_out: the PROBE_ETA-noise amplification band (lane-independent,
+        # returned for per-lane rescaling); B: the prescreen band, widened
+        # by the worst accumulated path noise in this chunk (supersets are
+        # free — the probes decide; but B_out must NOT carry mult, or one
+        # noisy lane would inflate every lane's shade-probe scale)
+        B_out = np.clip(5e-7 / np.maximum(absdet, 1e-12), 1e-4, 0.5)
+        B = np.clip(B_out * mult, 0.0, 0.5)
+        tband = B * np.maximum(np.abs(t), 1e-2) + 1e-5
+        mx = maxt[:, None]
+
+        def accept(sign):
+            b, tb = sign * B, sign * tband
+            det_ok = absdet >= (eps * 0.5 if sign > 0 else eps * 2.0)
+            return (
+                safe
+                & det_ok
+                & (u >= -b)
+                & (u <= 1 + b)
+                & (v >= -b)
+                & (u + v <= 1 + b)
+                & (t > eps - tb)
+                & (t < mx + tb)
+            )
+
+        loose, tight = accept(1.0), accept(-1.0)
+        possible = loose.any(axis=1)
+        solid = tight.any(axis=1)
+        risky_c = (loose & ~tight).any(axis=1)
+        ok_n = (
+            safe
+            & (absdet >= eps)
+            & (u >= 0)
+            & (u <= 1)
+            & (v >= 0)
+            & (u + v <= 1)
+            & (t > eps)
+            & (t < mx)
+        )
+        tn = np.where(ok_n, t, np.inf)
+        rows = np.arange(tn.shape[0])
+        i1 = np.argmin(tn, axis=1)
+        t1 = tn[rows, i1]
+        B1 = np.where(np.isfinite(t1), B[rows, i1], 0.0)
+        tn[rows, i1] = np.inf
+        i2 = np.argmin(tn, axis=1)
+        t2 = tn[rows, i2]
+        B2 = np.where(np.isfinite(t2), B[rows, i2], 0.0)
+        return possible, solid, risky_c, t1, B1, t2, B2
+
+    def _closest_risky(self, o, d, maxt, idx, mult=1.0):
+        """Lanes (subset ``idx``) whose closest-hit *decision outputs*
+        (hit flag / winning instance / winning triangle) are near a
+        boundary: a risky candidate exists, or the two best ts tie within
+        their noise bands. ``mult`` scales the bands for lanes whose
+        accumulated path noise exceeds PROBE_ETA. Returns (risky, B1)."""
+        m = idx.size
+        risky = np.zeros(m, bool)
+        # global top-2 (t, B) across instances, merged pairwise
+        g_t = np.full((m, 2), np.inf, np.float32)
+        g_B = np.zeros((m, 2), np.float32)
+        for c0 in range(0, m, _CHUNK):
+            sl = slice(c0, min(c0 + _CHUNK, m))
+            gi = idx[sl]
+            for ii, tris in enumerate(self.inst_tris):
+                w2o = self.scene.inst_w2o[ii]
+                oo = o[gi] @ w2o[:3, :3].T + w2o[:3, 3]
+                dd = d[gi] @ w2o[:3, :3].T
+                _, _, rc, t1, B1, t2, B2 = self._mt_risk(
+                    oo, dd, maxt[gi], tris, mult=mult
+                )
+                risky[sl] |= rc
+                cand_t = np.concatenate(
+                    [g_t[sl], t1[:, None], t2[:, None]], axis=1
+                )
+                cand_B = np.concatenate(
+                    [g_B[sl], B1[:, None], B2[:, None]], axis=1
+                )
+                order = np.argsort(cand_t, axis=1)[:, :2]
+                r = np.arange(cand_t.shape[0])[:, None]
+                g_t[sl] = cand_t[r, order]
+                g_B[sl] = cand_B[r, order]
+        with np.errstate(invalid="ignore"):
+            tie = np.isfinite(g_t[:, 1]) & (
+                g_t[:, 1] - g_t[:, 0]
+                < (g_B[:, 0] + g_B[:, 1]) * np.maximum(g_t[:, 0], 1e-2) + 1e-5
+            )
+        return risky | tie, g_B[:, 0]
+
+    def probe_closest(self, o, d, maxt, active, nominal, noise=None):
+        """Flag lanes whose closest-hit outcome flips under noise-scale
+        probes (``noise``: per-lane accumulated input noise, see
+        _probe_rays). Returns (unstable [n] bool, uv_band [n] f32) —
+        uv_band is the winner's barycentric noise band, used to scale the
+        shade probes."""
+        n = o.shape[0]
+        unstable = np.zeros(n, bool)
+        uv_band = np.zeros(n, np.float32)
+        idx = np.nonzero(active)[0]
+        if idx.size == 0:
+            return unstable, uv_band
+        mult = 1.0
+        if noise is not None and idx.size:
+            mult = max(
+                1.0, float(np.clip(noise[idx], 0, NOISE_CAP).max()) / PROBE_ETA
+            )
+        risky, B1 = self._closest_risky(o, d, maxt, idx, mult=mult)
+        uv_band[idx] = B1
+        pidx = idx[risky]
+        if pidx.size == 0:
+            return unstable, uv_band
+        t0, inst0, tri0, _, _, hit0 = nominal
+        act = np.ones(pidx.size, bool)
+        # flip probes run at the TYPICAL accumulated noise, capped at the
+        # measured per-bounce amplification bound (~6x/bounce from 1-2
+        # ulps => <= ~3e-5 at depth 3; the uncapped conservative estimate
+        # is kept for the smooth value-jump criterion, where worst-casing
+        # costs accuracy, not false discrete flips): probing discrete
+        # flips inside the worst-case noise BALL would flag every lane
+        # whose ball touches a silhouette, ~10x the honest set
+        eta = (
+            np.full(pidx.size, 2e-7, np.float32)
+            if noise is None
+            else np.clip(noise[pidx], 2e-7, 3e-5)
+        )
+        nrm = self.scene.tri_normals.mean(axis=1)
+        nrm /= np.maximum(np.linalg.norm(nrm, axis=1, keepdims=True), 1e-9)
+        for op, dp in _probe_rays(o[pidx], d[pidx], eta=eta):
+            pt, pinst, ptri, _, _, phit = self.intersect_closest(
+                op, dp, maxt[pidx], act
+            )
+            # a winner change only matters if it changes SHADING: on smooth
+            # meshes a noisy ray legitimately lands on the edge-adjacent
+            # same-material near-coplanar triangle with continuous
+            # radiance — flagging those inflates the unstable set ~10x on
+            # the glass-sphere scene (its internal lens chain really does
+            # amplify ray noise; the radiance stays continuous)
+            swap = hit0[pidx] & phit & (
+                (pinst != inst0[pidx]) | (ptri != tri0[pidx])
+            )
+            severe = (
+                (pinst != inst0[pidx])
+                | (
+                    self.scene.tri_material[ptri]
+                    != self.scene.tri_material[tri0[pidx]]
+                )
+                | (
+                    np.abs(
+                        np.where(np.isfinite(pt), pt, 0.0)
+                        - np.where(np.isfinite(t0[pidx]), t0[pidx], 0.0)
+                    )
+                    > 0.05
+                    * np.maximum(
+                        np.abs(np.where(np.isfinite(t0[pidx]), t0[pidx], 0.0)),
+                        0.1,
+                    )
+                )
+                | (np.einsum("ij,ij->i", nrm[ptri], nrm[tri0[pidx]]) < 0.9)
+            )
+            flip = (phit != hit0[pidx]) | (swap & severe)
+            unstable[pidx[flip]] = True
+        return unstable, uv_band
+
+    def probe_any(self, o, d, maxt, active, occluded, noise=None):
+        """Flag lanes whose occlusion decision flips under noise probes."""
+        n = o.shape[0]
+        unstable = np.zeros(n, bool)
+        idx = np.nonzero(active)[0]
+        if idx.size == 0:
+            return unstable
+        mult = 1.0
+        if noise is not None:
+            mult = max(
+                1.0, float(np.clip(noise[idx], 0, NOISE_CAP).max()) / PROBE_ETA
+            )
+        poss = np.zeros(idx.size, bool)
+        sol = np.zeros(idx.size, bool)
+        for c0 in range(0, idx.size, _CHUNK):
+            sl = slice(c0, min(c0 + _CHUNK, idx.size))
+            gi = idx[sl]
+            for ii, tris in enumerate(self.inst_tris):
+                w2o = self.scene.inst_w2o[ii]
+                oo = o[gi] @ w2o[:3, :3].T + w2o[:3, 3]
+                dd = d[gi] @ w2o[:3, :3].T
+                p, s, _, _, _, _, _ = self._mt_risk(
+                    oo, dd, maxt[gi], tris, mult=mult
+                )
+                poss[sl] |= p
+                sol[sl] |= s
+        pidx = idx[poss & ~sol]
+        if pidx.size == 0:
+            return unstable
+        act = np.ones(pidx.size, bool)
+        eta = (
+            np.full(pidx.size, 2e-7, np.float32)
+            if noise is None
+            else np.clip(noise[pidx], 2e-7, NOISE_CAP)
+        )
+        es = eta
+        for op, dp in _probe_rays(o[pidx], d[pidx], eta=eta):
+            for sgn in (-1.0, 1.0):
+                pocc = self.intersect_any(
+                    op, dp, maxt[pidx] * (1.0 + sgn * es), act
+                )
+                unstable[pidx[pocc != occluded[pidx]]] = True
+        return unstable
+
     def intersect_closest(self, o, d, maxt, active):
         """Closest hit over all instances (≙ rayIntersectionQuery)."""
         n = o.shape[0]
@@ -140,16 +417,115 @@ class CpuRenderer:
                 rem[np.nonzero(rem)[0]] = ~hit
         return occluded
 
+    def _probe_shade(
+        self, U, bounce, opt, num_emissives, ray_o, ray_d, t, inst, tri,
+        bu, bv, hit, throughput, flags, uv_band, out0, chk, noise,
+    ):
+        """Flag lanes where a shading *branch* flips under input-ulp noise.
+
+        Covers every comparison inside the shared shade/bxdf/material
+        modules (RR survival vs its uniform, fresnel branch choice, pdf
+        floors, mask predicates) without instrumenting them: shade is
+        re-run with inputs perturbed at the REALISTIC cross-backend noise
+        scale — a few ulps on values, the per-lane MT amplification band
+        scaled back from its 16-ulp/4x-safety superset to ~2 ulps on
+        barycentrics — and a lane is unstable if a discrete output flips
+        or a value response exceeds the parity gate's own tolerance band
+        (then the lane provably cannot meet the gate under legitimate
+        backend noise, branch flip or smooth hyper-sensitivity alike).
+        Probing at the superset band instead over-flags smooth rough-
+        surface shading ~30x (measured: 4087 of 4154 mitsuba-512 flags
+        were smooth GGX responses to a 100x-overscale perturbation)."""
+        # Probe at a measurable scale (>= ~4 ulps), then rescale responses
+        # by ratio = noise/(2*eta) — the response to the lane's ACTUAL
+        # accumulated noise under first-order linearity (A-B spans 2*eta).
+        eta = np.maximum(noise, np.float32(4e-7))
+        ratio = (noise / (2.0 * eta)).astype(np.float32)
+        # uv_band is the MT amplification of PROBE_ETA(=1e-6) input noise
+        # with a 4x safety factor — rescale it to the probe scale
+        uvp = np.clip(
+            uv_band * (eta / (4.0 * PROBE_ETA)), 1e-7, 2e-2
+        ).astype(np.float32)
+        outs = []
+        for sgn in (np.float32(1.0), np.float32(-1.0)):
+            outs.append(
+                shade(
+                    np, self.S, U,
+                    bounce=bounce,
+                    min_bounces_for_rr=opt.min_bounces_for_rr,
+                    num_emissives=num_emissives,
+                    material_depth=self.material_depth,
+                    ray_o=ray_o * (1 + sgn * eta[:, None]),
+                    ray_d=(
+                        ray_d + (sgn * eta)[:, None] * _PROBE_PATTERNS[0]
+                    ).astype(np.float32),
+                    t=t * (1 + sgn * eta),
+                    inst=inst,
+                    tri=tri,
+                    bary_u=bu + sgn * uvp,
+                    bary_v=bv - sgn * uvp,
+                    hit_mask=hit,
+                    throughput=throughput * (1 + sgn * eta[:, None]),
+                    flags=flags,
+                )
+            )
+        A, B = outs
+
+        def jump(key):
+            # the parity gate's own tolerance band (test_parity_full._gate
+            # atol/rtol), evaluated at the lane's actual noise: a lane
+            # whose response exceeds it — branch flip or smooth hyper-
+            # sensitivity — can legitimately violate the gate and is
+            # excluded a priori
+            d = np.abs(A[key] - B[key]).max(axis=1) * ratio
+            r = np.abs(out0[key]).max(axis=1)
+            return d > (2e-4 + 1e-3 * r)
+
+        bad = (A["occl_mask"] != B["occl_mask"]) | (
+            A["next_mask"] != B["next_mask"]
+        )
+        bad |= jump("occl_value") | jump("emit_add")
+        d_resp = np.abs(A["next_d"] - B["next_d"]).max(axis=1) * ratio
+        bad |= (d_resp > 0.05) & out0["next_mask"]
+        bad |= jump("throughput") & out0["next_mask"]
+        # forward noise propagation: the rescaled probe response IS the
+        # first-order noise estimate for the next bounce's inputs
+        # (dispersive/specular chains amplify multiplicatively; probing at
+        # primary-ray ulps forever would miss the accumulated divergence)
+        tp_ref = np.abs(out0["throughput"]).max(axis=1) + 1e-6
+        tp_resp = (
+            np.abs(A["throughput"] - B["throughput"]).max(axis=1)
+            / tp_ref
+            * ratio
+        )
+        noise_next = np.clip(
+            np.maximum(d_resp, tp_resp), noise, NOISE_CAP
+        ).astype(np.float32)
+        noise_next = np.where(out0["next_mask"], noise_next, noise)
+        return chk & bad, noise_next
+
     # ----- rendering -----
 
     def render_accum(
-        self, opt: RenderOptions, camera: Camera = None, sample_offset: int = 0
+        self,
+        opt: RenderOptions,
+        camera: Camera = None,
+        sample_offset: int = 0,
+        stability: bool = False,
     ) -> np.ndarray:
         """Render the HDR accumulator [H, W, 3] (sum over spp samples).
 
         ``sample_offset`` shifts the absolute sample indices (the RNG is
         keyed on them), mirroring TpuRenderer.render_accum_offset — so the
-        oracle can gate progressive/offset rendering and the spp axis."""
+        oracle can gate progressive/offset rendering and the spp axis.
+
+        ``stability=True`` additionally runs the decision-stability
+        analysis (docs/parity.md #14): every intersection/occlusion/branch
+        decision is probed under ulp-scale input perturbations, and lanes
+        whose decision flips — lanes where a float32 render is not a
+        well-defined function of the scene — are recorded in
+        ``self.last_unstable`` [H, W]. Full-resolution parity gates demand
+        exactness on stable lanes only and bound the unstable fraction."""
         sc = self.scene
         cam = camera or Camera.from_scene(sc, opt.width, opt.height)
         W, H = opt.width, opt.height
@@ -160,6 +536,7 @@ class CpuRenderer:
             rng.rr_block_key(np, pixel_idx, W) if opt.rr_tile_coherent else None
         )
         accum = np.zeros((n, 3), np.float32)
+        unstable = np.zeros(n, bool)
         num_emissives = int(sc.emis_area.shape[0])
         # per-bounce live-lane fractions (closest pass entry / NEE any-hit),
         # averaged over samples — the honest "useful ray" accounting behind
@@ -176,12 +553,24 @@ class CpuRenderer:
             flags = np.zeros(n, np.uint32)
             alive = np.ones(n, bool)
             maxt = np.full(n, V.FLT_MAX, np.float32)
+            # per-lane accumulated input-noise scale for this sample's path
+            # (forward noise propagation — see _probe_shade); primary rays
+            # carry ~1-2 ulps of cross-backend rounding
+            noise = np.full(n, 1.5e-7, np.float32)
 
             for b in range(opt.num_bounces):
                 live_closest[b] += alive.mean() / opt.spp
                 t, inst, tri, bu, bv, hit = self.intersect_closest(
                     ray_o, ray_d, maxt, alive
                 )
+                uv_band = np.zeros(n, np.float32)
+                if stability:
+                    chk = alive & ~unstable
+                    u_new, uv_band = self.probe_closest(
+                        ray_o, ray_d, maxt, chk, (t, inst, tri, bu, bv, hit),
+                        noise,
+                    )
+                    unstable |= u_new
                 t = np.where(hit, t, 0.0).astype(np.float32)  # keep lanes finite
                 # miss shading (pt_integrator.cl:214-275)
                 if sc.scene_diffuse_mat >= 0:
@@ -214,6 +603,13 @@ class CpuRenderer:
                 )
                 accum += out["emit_add"]
                 live_occl[b] += out["occl_mask"].mean() / opt.spp
+                if stability:
+                    bad, noise = self._probe_shade(
+                        U, b, opt, num_emissives, ray_o, ray_d, t, inst, tri,
+                        bu, bv, hit, throughput, flags, uv_band, out,
+                        alive & ~unstable, noise,
+                    )
+                    unstable |= bad
                 # occlusion test + NEE accumulation (pt_integrator.cl:278-296)
                 if num_emissives > 0:
                     occluded = self.intersect_any(
@@ -221,6 +617,15 @@ class CpuRenderer:
                     )
                     nee = out["occl_mask"] & (~occluded)
                     accum[nee] += out["occl_value"][nee]
+                    if stability:
+                        unstable |= self.probe_any(
+                            out["occl_o"],
+                            out["occl_d"],
+                            out["occl_maxt"],
+                            out["occl_mask"] & ~unstable,
+                            occluded,
+                            noise,
+                        )
                 ray_o = out["next_o"]
                 ray_d = out["next_d"]
                 throughput = out["throughput"]
@@ -230,6 +635,7 @@ class CpuRenderer:
                     break
             _log.debug("sample %d/%d done", s + 1, opt.spp)
 
+        self.last_unstable = unstable.reshape(H, W)
         self.last_live_stats = {
             "closest": live_closest.tolist(),
             "occl": live_occl.tolist(),
