@@ -456,7 +456,7 @@ def _build_call(resident: int, grid: int, any_hit: bool):
         (None, BLOCK_TILES) + TILE, lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM
     )
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
-    hbm = lambda: pl.BlockSpec(memory_space=pltpu.ANY)
+    hbm = lambda: pl.BlockSpec(memory_space=pl.ANY)
     return pl.pallas_call(
         kernel,
         grid=(grid,),
