@@ -759,8 +759,11 @@ def _b44_uncompress(
 
 
 def _float_to_float24(f: np.ndarray) -> np.ndarray:
-    """f32 -> 24-bit float bits (round-to-nearest, NaN kept NaN). The
-    decoder never calls this; only the writer's lossy truncation does."""
+    """f32 -> 24-bit float bits (round-to-nearest; NaN kept NaN; finite
+    values CLAMP to the largest finite float24 instead of rounding over
+    into infinity — HDR fireflies near FLT_MAX stay finite on read-back).
+    The decoder never calls this; only the writer's lossy truncation does.
+    """
     i = np.ascontiguousarray(f, "<f4").view(np.uint32)
     s = i & 0x80000000
     e = i & 0x7F800000
@@ -768,7 +771,8 @@ def _float_to_float24(f: np.ndarray) -> np.ndarray:
     inf_nan = e == 0x7F800000
     m_nan = np.where(m != 0, np.uint32(0x007FFFFF), m)
     rounded = (e | m).astype(np.uint64) + 0x80
-    rounded = np.minimum(rounded, 0x7F7FFFFF + 0x80).astype(np.uint32)
+    # 0x7F7FFFFF & 0x7FFFFF80 = 0x7F7FFF80, the max finite 24-bit float
+    rounded = np.minimum(rounded, 0x7F7FFFFF).astype(np.uint32)
     out = np.where(inf_nan, (s | e | m_nan), s | (rounded & 0x7FFFFF80))
     return out >> 8
 

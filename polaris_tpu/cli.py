@@ -132,6 +132,14 @@ def cmd_render_frame(args) -> int:
         exposure=args.exposure, seed=args.seed,
         rr_tile_coherent=args.rr_tile_coherent,
     )
+    if getattr(args, "adaptive", 0.0) > 0 and (
+        args.pool or args.tiles or args.sample_shards > 1
+    ):
+        _log.error(
+            "--adaptive is single-device (per-block variance state lives "
+            "with one renderer); drop --pool/--tiles/--sample-shards"
+        )
+        return 2
     scene = _load_scene(args.scene)
 
     import jax

@@ -130,12 +130,19 @@ def _collapse_wide(scene):
 
     import sys
 
+    root_cache = {}  # instances sharing a BLAS share its wide subtree
+
+    def collapse_cached(r):
+        if r not in root_cache:
+            root_cache[r] = collapse(r)
+        return root_cache[r]
+
     old = sys.getrecursionlimit()
     sys.setrecursionlimit(max(old, 100000))
     try:
         root_entry = collapse(0)
         inst_entry = np.array(
-            [collapse(int(r)) for r in scene.inst_bvh_root], np.int32
+            [collapse_cached(int(r)) for r in scene.inst_bvh_root], np.int32
         )
     finally:
         sys.setrecursionlimit(old)

@@ -221,6 +221,18 @@ def _fetch_rgba(xp, S, base_px):
 
 def _bilinear_setup(xp, S, uv, tex_idx):
     """Common uv -> texel corner indices + lerp coefficients."""
+    store = S.get("tex_store")
+    if (
+        store is not None
+        and isinstance(store, np.ndarray)
+        and (store != 0).any()
+    ):
+        raise ValueError(
+            "byte-stored textures (tex_store != 0) are only served by the "
+            "_tex_meta fast path; build S via SceneData.split_params(), or "
+            "compile the scene with float_textures=True for the legacy "
+            "flat-f32 fallback"
+        )
     safe_idx = xp.maximum(tex_idx, 0)
     w = S["tex_width"][safe_idx]
     h = S["tex_height"][safe_idx]

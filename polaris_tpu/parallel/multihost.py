@@ -180,4 +180,6 @@ def spawn_local_processes(
             errs.append(err.decode()[-2000:])
     if errs:
         raise RuntimeError("worker failed:\n" + "\n---\n".join(errs))
+    if job == "train" and not out_path.endswith(".npz"):
+        out_path += ".npz"  # np.savez appends the suffix
     return np.load(out_path)

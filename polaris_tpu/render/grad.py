@@ -34,6 +34,19 @@ from .shade import tonemap_reinhard
 class DifferentiableRenderer(TpuRenderer):
     """TpuRenderer + loss/grad evaluation over the scene parameter pytree."""
 
+    def __init__(self, scene, *args, **kwargs):
+        super().__init__(scene, *args, **kwargs)
+        store = getattr(scene, "tex_store", None)
+        if store is not None and np.any(np.asarray(store) != 0):
+            from ..utils.log import get_logger
+
+            get_logger("grad").warning(
+                "scene has byte-stored textures (the compile default): "
+                "their texels are NOT differentiable and tex_data "
+                "gradients will be zero — recompile with "
+                "compile_scene(..., float_textures=True) to train textures"
+            )
+
     def _loss_fn(self, opt: RenderOptions):
         key = ("loss", opt.width, opt.height, opt.spp, opt.num_bounces,
                opt.min_bounces_for_rr, opt.rr_tile_coherent)

@@ -657,9 +657,17 @@ class TpuRenderer:
             ci = 1.96 * jnp.sqrt(var / ns) / (mean + 0.05)
             ci = jnp.pad(ci, (0, pad))
             # block stat = mean per-pixel CI: a max would let one firefly
-            # pixel hold a whole block at full budget forever
-            block_ci = ci.reshape(nblocks, TILE_LANES).sum(axis=1) / float(
-                TILE_LANES
+            # pixel hold a whole block at full budget forever; divide by
+            # each block's REAL lane count (the zero-padded tail block
+            # would otherwise under-read its CI and stop too early)
+            lanes_per_block = jnp.asarray(
+                np.minimum(
+                    TILE_LANES,
+                    n - np.arange(nblocks, dtype=np.int64) * TILE_LANES,
+                ).astype(np.float32)
+            )
+            block_ci = (
+                ci.reshape(nblocks, TILE_LANES).sum(axis=1) / lanes_per_block
             )
             return accum, lsum, l2sum, block_ci
 
@@ -695,7 +703,9 @@ class TpuRenderer:
         done = 0
         total_ms = 0.0
         while done < opt.spp and block_active.any():
-            block_spp_new = block_spp + np.where(block_active, chunk, 0)
+            k = min(chunk, opt.spp - done)  # never exceed the budget cap
+            fn = self._get_adaptive_fn(opt, k) if k != chunk else fn
+            block_spp_new = block_spp + np.where(block_active, k, 0)
             with Timer() as t:
                 accum, lsum, l2sum, block_ci = fn(
                     self.geom,
@@ -711,7 +721,7 @@ class TpuRenderer:
                 accum.block_until_ready()
             total_ms += t.ms
             block_spp = block_spp_new
-            done += chunk
+            done += k
             if done >= min_spp:
                 block_active &= np.asarray(block_ci) > tol
         self.last_render_ms = total_ms

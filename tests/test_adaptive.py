@@ -73,3 +73,15 @@ def test_adaptive_u8_weighting(cornell_scene):
     # byte difference stays small if weighting is correct (a 1/spp bug
     # would scale whole blocks by 2-4x)
     assert np.abs(img.astype(int) - ref.astype(int)).mean() < 2.0
+
+
+def test_adaptive_budget_cap_non_multiple(cornell_scene):
+    """opt.spp is a hard budget CAP even when not a multiple of the chunk
+    size (review finding: the loop used to add a full chunk past it)."""
+    opt = RenderOptions(width=64, height=64, spp=10, num_bounces=2,
+                        min_bounces_for_rr=3)
+    r = TpuRenderer(cornell_scene, mode="bvh")
+    accum, spp_map = r.render_adaptive(opt, tol=0.0, chunk=4)
+    assert spp_map.max() == 10
+    fixed = np.asarray(r.render_accum_offset(opt))
+    np.testing.assert_array_equal(accum, fixed)

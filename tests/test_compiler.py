@@ -166,3 +166,43 @@ def test_byte_texture_storage(scenes_dir, tmp_path):
     sc2 = SceneData.load(str(tmp_path / "c.zip"))
     np.testing.assert_array_equal(sc2.tex_data_u8, sc_u8.tex_data_u8)
     np.testing.assert_array_equal(sc2.tex_store, sc_u8.tex_store)
+
+
+def test_wide_collapse_shares_instanced_blas(scenes_dir):
+    """Instances sharing a BLAS share its 8-wide subtree (review finding:
+    re-collapsing per instance multiplied the node forest by K)."""
+    from polaris_tpu.asset.compiler.compiler import compile_scene
+    from polaris_tpu.asset.wavefront import read_scene
+    from polaris_tpu.ops.intersect_pallas8_nodes import _collapse_wide
+
+    sc = compile_scene(read_scene(os.path.join(scenes_dir, "instanced.obj")))
+    _, _, _, inst_entry = _collapse_wide(sc)
+    n_unique_roots = len(set(int(r) for r in sc.inst_bvh_root))
+    assert len(set(int(e) for e in inst_entry)) == n_unique_roots
+
+
+def test_byte_textures_slow_path_guarded(scenes_dir, tmp_path):
+    """The legacy flat-f32 texture fallback refuses byte-stored scenes
+    loudly instead of fetching garbage (review finding)."""
+    import shutil
+
+    import pytest as _pytest
+
+    from polaris_tpu.asset.compiler.compiler import compile_scene
+    from polaris_tpu.asset.wavefront import read_scene
+    from polaris_tpu.ops.texture import tex_sample_rgba
+
+    shutil.copy(os.path.join(scenes_dir, "checker.png"), tmp_path / "checker.png")
+    (tmp_path / "g.mtl").write_text(
+        'newmtl floor\nmat_expr diffuse(reflectance: "checker.png")\n\n'
+    )
+    (tmp_path / "g.obj").write_text(
+        "mtllib g.mtl\nv -1 0 -1\nv -1 0 1\nv 1 0 1\n"
+        "vt 0 0\nvt 0 1\nvt 1 1\nusemtl floor\nf 1/1 2/2 3/3\n"
+    )
+    sc = compile_scene(read_scene(str(tmp_path / "g.obj")))
+    geom, params = sc.split_params()
+    S = {**geom, **params}
+    uv = np.array([[0.5, 0.5]], np.float32)
+    with _pytest.raises(ValueError, match="byte-stored"):
+        tex_sample_rgba(np, S, uv, np.array([0], np.int32))

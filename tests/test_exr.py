@@ -518,3 +518,17 @@ def test_half_writer_roundtrip(tmp_path, compression):
     data = open(p, "rb").read()
     ci = data.index(b"channels\x00chlist\x00")
     assert struct.unpack_from("<i", data, ci + 22)[0] == E.PIXEL_HALF
+
+
+def test_pxr24_float24_clamps_finite(tmp_path):
+    """Finite f32 values near FLT_MAX clamp to the largest finite float24
+    instead of rounding over into infinity (review finding)."""
+    big = np.float32(3.4028235e38)
+    bits = E._float_to_float24(np.array([big, -big, 1.0], np.float32))
+    back = (bits.astype(np.uint32) << 8).view(np.float32)
+    assert np.isfinite(back).all()
+    assert back[0] > 3.0e38 and back[1] < -3.0e38
+    # inf/NaN are still preserved as inf/NaN
+    bits2 = E._float_to_float24(np.array([np.inf, np.nan], np.float32))
+    back2 = (bits2.astype(np.uint32) << 8).view(np.float32)
+    assert np.isinf(back2[0]) and np.isnan(back2[1])

@@ -201,3 +201,17 @@ def test_device_selection_blacklist_and_primary():
     ns = argparse.Namespace(blacklist=None, force_primary="gpu999")
     with pytest.raises(SystemExit):
         _select_devices(ns)
+
+
+def test_cli_adaptive_rejects_multi_device_flags(tmp_path, scenes_dir):
+    obj = os.path.join(scenes_dir, "cornell.obj")
+    r = _run_cli(
+        [
+            "render", "frame", obj, "--width", "32", "--height", "32",
+            "--spp", "2", "--mode", "bvh", "--adaptive", "0.1",
+            "--pool", "2", "--out", str(tmp_path / "x.png"),
+        ],
+        str(tmp_path),
+    )
+    assert r.returncode == 2
+    assert "adaptive" in (r.stderr + r.stdout)
