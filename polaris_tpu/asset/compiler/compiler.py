@@ -445,6 +445,11 @@ class SceneCompiler:
                 )
 
             n = self.nodes
+            # byte-only scene -> the dummy slot joins the byte family so the
+            # f32 family stays empty (single-gather fast path)
+            _byte_dummy = bool(self.tex_meta) and all(
+                m[4] != 0 for m in self.tex_meta
+            )
             scene = SceneData(
                 bvh_min=np.concatenate(all_min),
                 bvh_max=np.concatenate(all_max),
@@ -497,21 +502,33 @@ class SceneCompiler:
                 mat_roughness_tex=np.asarray(n.roughness_tex, np.int32),
                 mat_bump_tex=np.asarray(n.bump_tex, np.int32),
                 # Always include a 1x1 dummy slot so per-lane gathers with
-                # tex_idx = -1 (masked afterwards) stay in bounds.
+                # tex_idx = -1 (masked afterwards) stay in bounds. It joins
+                # the storage family the scene already uses (ADVICE r4 #3):
+                # an all-byte scene would otherwise grow a one-slot f32
+                # family and lose the sampler's single-gather fast path
+                # (ops/texture.py _nb_fetch).
                 tex_data=(
                     np.concatenate(self.tex_blobs + [np.zeros(4, np.float32)])
                     if self.tex_blobs
                     else np.zeros((4,), np.float32)
                 ),
                 tex_offset=np.array(
-                    [m[0] for m in self.tex_meta] + [self.tex_cursor], np.int32
+                    [m[0] for m in self.tex_meta]
+                    + [self.tex_cursor_u8 if _byte_dummy else self.tex_cursor],
+                    np.int32,
                 ),
                 tex_width=np.array([m[1] for m in self.tex_meta] + [1], np.int32),
                 tex_height=np.array([m[2] for m in self.tex_meta] + [1], np.int32),
                 tex_format=np.array([m[3] for m in self.tex_meta] + [0], np.int32),
-                tex_store=np.array([m[4] for m in self.tex_meta] + [0], np.int32),
+                tex_store=np.array(
+                    [m[4] for m in self.tex_meta] + [1 if _byte_dummy else 0],
+                    np.int32,
+                ),
                 tex_data_u8=(
-                    np.concatenate(self.tex_blobs_u8)
+                    np.concatenate(
+                        self.tex_blobs_u8
+                        + ([np.zeros(4, np.uint8)] if _byte_dummy else [])
+                    )
                     if self.tex_blobs_u8
                     else np.zeros(0, np.uint8)
                 ),

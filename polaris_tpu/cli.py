@@ -247,6 +247,14 @@ def cmd_render_progressive(args) -> int:
         exposure=args.exposure, seed=args.seed,
         rr_tile_coherent=args.rr_tile_coherent,
     )
+    if getattr(args, "adaptive", 0.0) > 0:
+        # loud, like the --pool/--tiles rejection in cmd_render_frame: the
+        # progressive loop has its own termination (ADVICE r4 #2)
+        _log.error(
+            "--adaptive applies to 'render frame' only; progressive passes "
+            "accumulate until --target-spp"
+        )
+        return 2
     scene = _load_scene(args.scene)
     devices = _select_devices(args)
     pool = None

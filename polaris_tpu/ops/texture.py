@@ -221,12 +221,20 @@ def _fetch_rgba(xp, S, base_px):
 
 def _bilinear_setup(xp, S, uv, tex_idx):
     """Common uv -> texel corner indices + lerp coefficients."""
+    # Byte-stored scenes must never fall through to this flat-f32 path
+    # (their offsets index the u8 atlas -> garbage texels). The u8-atlas
+    # size is static even under jit tracing, so this check fires for
+    # device-array S dicts too; the value check covers hand-built S with
+    # tex_store set but no tex_data_u8 (ADVICE r4 #4).
+    u8 = S.get("tex_data_u8")
+    byte_scene = u8 is not None and getattr(u8, "size", 0) > 0
     store = S.get("tex_store")
-    if (
-        store is not None
-        and isinstance(store, np.ndarray)
-        and (store != 0).any()
-    ):
+    if not byte_scene and store is not None:
+        try:
+            byte_scene = bool((np.asarray(store) != 0).any())
+        except Exception:  # traced store values: the size check above
+            byte_scene = False  # already covers every compiled scene
+    if byte_scene:
         raise ValueError(
             "byte-stored textures (tex_store != 0) are only served by the "
             "_tex_meta fast path; build S via SceneData.split_params(), or "

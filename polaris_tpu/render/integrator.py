@@ -723,7 +723,11 @@ class TpuRenderer:
             block_spp = block_spp_new
             done += k
             if done >= min_spp:
-                block_active &= np.asarray(block_ci) > tol
+                # >= keeps tol=0 a true "never converge" mode: a
+                # zero-variance block (mean=var=0 -> ci exactly 0) must not
+                # stop at min_spp, or the documented tol=0
+                # bit-identical-to-uniform guarantee breaks (ADVICE r4 #1)
+                block_active &= np.asarray(block_ci) >= tol
         self.last_render_ms = total_ms
         self.last_spp_blocks = block_spp
         lane_block = np.minimum(
