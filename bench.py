@@ -36,7 +36,12 @@ def main():
             [sys.executable, os.path.join(HERE, "scenes", "generate.py")], check=True
         )
     scene = compile_scene(read_scene(obj))
-    renderer = TpuRenderer(scene, mode="auto")
+    # regen=True: wavefront path regeneration (render_block_regen) — the
+    # ESTIMATOR is unchanged (every path sees the same counter-keyed draws
+    # as the sequential sample loop; only fp accumulation order differs),
+    # so unlike tile-coherent RR this is a pure execution strategy and fair
+    # for the headline. Measured +3.5% on this config (BENCH_REGEN.json).
+    renderer = TpuRenderer(scene, mode="auto", regen=True)
     # one device launch for the whole frame (~1 s execution — well under the
     # tunnel watchdog); the default chunking is tuned for bigger workloads
     renderer.spp_per_launch = 16

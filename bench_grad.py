@@ -114,7 +114,8 @@ def main():
     opt128 = RenderOptions(
         width=512, height=512, spp=128, num_bounces=5, min_bounces_for_rr=3
     )
-    tr = TpuRenderer(scene, mode="auto")
+    # regen: estimator-exact wavefront path regeneration (see bench.py note)
+    tr = TpuRenderer(scene, mode="auto", regen=True)
     tr.spp_per_launch = 16  # 8 launches, each well under the watchdog
     tr.render_u8(opt128)  # warmup/compile
     frame_s = _best_of(lambda: tr.render_u8(opt128), n=2)

@@ -370,11 +370,158 @@ def render_sample_block(
     return radiance
 
 
+def render_block_regen(
+    S: Dict,
+    closest,
+    any_hit,
+    *,
+    frustum,
+    eye,
+    width: int,
+    height: int,
+    pixel_x,
+    pixel_y,
+    pixel_idx,
+    sample_offset,
+    spp: int,
+    seed,
+    num_bounces: int,
+    min_bounces_for_rr: int,
+    num_emissives: int,
+    scene_diffuse_mat: int,
+    material_depth: int = None,
+    rr_tile_coherent: bool = False,
+):
+    """Wavefront PATH REGENERATION: all ``spp`` samples of the block in one
+    flat loop; the moment a lane's path ends (RR death, absorbed bounce,
+    miss, bounce cap) it restarts at its OWN pixel with its next sample
+    index — the occupancy purpose of the reference's atomic compaction
+    queues (pt_integrator.cl:49-64), without the two measured killers of
+    XLA-level compaction: no permutation (gathers feeding pallas_call cost
+    ~1 ms/column) and no coherence loss (the pixel<->lane binding never
+    changes, and regenerated rays are block-coherent primaries).
+
+    The RNG keys every draw by (pixel, sample, bounce, stream), so each
+    path sees EXACTLY the draws the sequential sample loop gives it — the
+    estimator is unchanged; only the float accumulation order differs
+    (contributions stream into one accumulator in per-lane chronological
+    order instead of per-sample partial sums, ~1 ulp association noise).
+
+    Runs as a ``lax.while_loop`` until every lane exhausts its sample
+    budget: expected trip count ~ spp * E[path length] + tail instead of
+    the sequential spp * num_bounces, and whole 32x32 tiles whose lanes
+    all finish early are skipped in-kernel by the all-dead-tile vote.
+    Termination is guaranteed: b strictly increases to the bounce cap and
+    s strictly increases on every regeneration, so trips <= spp *
+    num_bounces. Forward-only (while_loop has no transpose rule); the
+    differentiable paths keep the sequential integrator.
+    """
+    n = pixel_idx.shape[0]
+    pixel_idx = pixel_idx.astype(jnp.uint32)
+    maxt = jnp.full(n, V.FLT_MAX, jnp.float32)
+    sg = jax.lax.stop_gradient
+    s_end = sample_offset + spp
+
+    def primary(s_idx):
+        U0 = rng.make_uniform(rng.jnp_uniform, seed, pixel_idx, s_idx, 0)
+        return gen_rays(
+            jnp, frustum, eye, width, height, pixel_x, pixel_y, U0
+        )
+
+    s0 = jnp.full(n, 1, jnp.int32) * sample_offset  # broadcast traced scalar
+    ray_o, ray_d = primary(s0)
+    carry = (
+        ray_o,
+        ray_d,
+        jnp.ones((n, 3), jnp.float32),  # throughput
+        jnp.zeros(n, jnp.uint32),  # flags
+        jnp.ones(n, bool),  # alive
+        jnp.zeros((n, 3), jnp.float32),  # radiance
+        s0,  # per-lane absolute sample index
+        jnp.zeros(n, jnp.uint32),  # per-lane bounce
+        jnp.int32(0),  # trip counter (diagnostics)
+    )
+
+    def cond(carry):
+        return jnp.any(carry[4])
+
+    def body(carry):
+        ray_o, ray_d, throughput, flags, alive, radiance, s, b, trips = carry
+        hit = closest(S, sg(ray_o), sg(ray_d), sg(maxt), alive)
+        hit = jax.lax.stop_gradient(hit)
+        t = jnp.where(hit.mask, hit.t, 0.0)
+        if scene_diffuse_mat >= 0:
+            miss = alive & (~hit.mask)
+            bg = shade_miss(
+                jnp, S, ray_d, throughput, (b == 0)[..., None],
+                scene_diffuse_mat,
+            )
+            radiance = radiance + jnp.where(miss[..., None], bg, 0.0)
+        rr_key = (
+            rng.rr_block_key(jnp, pixel_idx, width)
+            if rr_tile_coherent
+            else None
+        )
+        U = rng.make_uniform(
+            rng.jnp_uniform, seed, pixel_idx, s, b, rr_key=rr_key
+        )
+        out = shade(
+            jnp,
+            S,
+            U,
+            bounce=b,
+            min_bounces_for_rr=min_bounces_for_rr,
+            num_emissives=num_emissives,
+            material_depth=material_depth,
+            ray_o=ray_o,
+            ray_d=ray_d,
+            t=t,
+            inst=hit.inst,
+            tri=hit.tri,
+            bary_u=hit.u,
+            bary_v=hit.v,
+            hit_mask=hit.mask,
+            throughput=throughput,
+            flags=flags,
+        )
+        radiance = radiance + out["emit_add"]
+        if num_emissives > 0:
+            om = out["occl_mask"]
+            occluded = any_hit(
+                S, sg(out["occl_o"]), sg(out["occl_d"]),
+                sg(out["occl_maxt"]), om,
+            )
+            nee = om & (~occluded)
+            radiance = radiance + jnp.where(
+                nee[..., None], out["occl_value"], 0.0
+            )
+        cont = alive & out["next_mask"] & (b + 1 < num_bounces)
+        regen = alive & (~cont) & (s + 1 < s_end)
+        new_s = jnp.where(regen, s + 1, s)
+        o0, d0 = primary(new_s)  # cheap vector math; where-selected below
+        ray_o = jnp.where(regen[..., None], o0, out["next_o"])
+        ray_d = jnp.where(regen[..., None], d0, out["next_d"])
+        throughput = jnp.where(
+            regen[..., None], 1.0, out["throughput"]
+        )
+        flags = jnp.where(regen, jnp.uint32(0), out["flags"])
+        b = jnp.where(cont, b + 1, jnp.uint32(0))
+        alive = cont | regen
+        return (
+            ray_o, ray_d, throughput, flags, alive, radiance, new_s, b,
+            trips + 1,
+        )
+
+    carry = jax.lax.while_loop(cond, body, carry)
+    return carry[5], carry[8]
+
+
 class TpuRenderer:
     """Single-chip renderer over a compiled scene.
 
     ``mode`` selects the traversal backend ('auto' | 'bvh' | 'brute' |
-    'pallas' once available).
+    'pallas' once available). ``regen`` switches the sample loop to
+    wavefront path regeneration (render_block_regen).
     """
 
     def __init__(
@@ -384,11 +531,13 @@ class TpuRenderer:
         compact: bool = False,
         sort_rays: bool = False,
         batch_samples: bool = False,
+        regen: bool = False,
     ):
         self.scene = scene
         self.compact = compact
         self.sort_rays = sort_rays
         self.batch_samples = batch_samples
+        self.regen = regen and not (compact or sort_rays or batch_samples)
         geom, params = scene.split_params()
         self.geom = {
             k: v if k.startswith("_") else jnp.asarray(v) for k, v in geom.items()
@@ -414,9 +563,10 @@ class TpuRenderer:
 
     # ----- jit plumbing -----
 
-    def _get_render_fn(self, opt: RenderOptions):
+    def _get_render_fn(self, opt: RenderOptions, emit: str = "f32"):
         key = (opt.width, opt.height, opt.spp, opt.num_bounces,
-               opt.min_bounces_for_rr, opt.rr_tile_coherent)
+               opt.min_bounces_for_rr, opt.rr_tile_coherent,
+               emit, opt.exposure if emit == "u8" else None)
         if key in self._jit_cache:
             return self._jit_cache[key]
 
@@ -475,7 +625,7 @@ class TpuRenderer:
                     accum = accum + parts[s]
                 if blocked:
                     accum = accum[jnp.asarray(h_inv)]
-                return accum.reshape(H, W, 3)
+                return self._emit(accum.reshape(H, W, 3), opt, emit)
 
             fn = jax.jit(render_fn)
             self._jit_cache[key] = fn
@@ -486,6 +636,32 @@ class TpuRenderer:
             pixel_idx = jnp.asarray(h_pix)
             xs = jnp.asarray(h_xs)
             ys = jnp.asarray(h_ys)
+
+            if self.regen:
+                accum, _ = render_block_regen(
+                    S,
+                    self.closest,
+                    self.any_hit,
+                    frustum=frustum,
+                    eye=eye,
+                    width=W,
+                    height=H,
+                    pixel_x=xs,
+                    pixel_y=ys,
+                    pixel_idx=pixel_idx,
+                    sample_offset=sample_offset,
+                    spp=opt.spp,
+                    seed=seed,
+                    num_bounces=opt.num_bounces,
+                    min_bounces_for_rr=opt.min_bounces_for_rr,
+                    num_emissives=self.num_emissives,
+                    scene_diffuse_mat=self.scene_diffuse_mat,
+                    material_depth=self.material_depth,
+                    rr_tile_coherent=opt.rr_tile_coherent,
+                )
+                if blocked:
+                    accum = accum[jnp.asarray(h_inv)]
+                return self._emit(accum.reshape(H, W, 3), opt, emit)
 
             def sample_body(s, accum):
                 rad = render_sample_block(
@@ -521,11 +697,159 @@ class TpuRenderer:
                 # loops — cheap, and RNG keys by pixel id so the image is
                 # bit-identical to row-major lane order)
                 accum = accum[jnp.asarray(h_inv)]
-            return accum.reshape(H, W, 3)
+            return self._emit(accum.reshape(H, W, 3), opt, emit)
 
         fn = jax.jit(render_fn)
         self._jit_cache[key] = fn
         return fn
+
+    @staticmethod
+    def _emit(accum, opt: RenderOptions, emit: str):
+        """Optionally fuse LDR conversion into the render program: a
+        single-launch u8 frame then needs no second tonemap dispatch
+        (~24 ms tunnel RTT each, round-4 VERDICT item 3)."""
+        if emit == "f32":
+            return accum
+        img = tonemap_reinhard(
+            jnp, accum, jnp.float32(1.0 / opt.spp), jnp.float32(opt.exposure)
+        )
+        return (jnp.clip(img, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+    def _get_chunk_carry_fn(self, opt: RenderOptions):
+        """Chunk program that carries the accumulator in BLOCKED lane order
+        across launches (round-4 VERDICT item 3): the per-chunk unblock
+        gather, accumulator zeroing and host-side adds of the old chunk loop
+        recur per launch (~48 ms of the 87 ms fixed frame cost); here each
+        launch adds its chunk's partial sum to a donated device carry and
+        pixel order is restored ONCE by the finalize program. The chunk
+        partial is summed from zero and added at the end, so the float
+        association — (chunk0)+(chunk1)+... — is identical to the old
+        host-side adds and images stay bit-identical."""
+        key = ("chunkc", opt.width, opt.height, opt.spp, opt.num_bounces,
+               opt.min_bounces_for_rr, opt.rr_tile_coherent)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        W, H = opt.width, opt.height
+        n = W * H
+        h_xs, h_ys, h_pix, _ = blocked_pixel_order(W, H)
+
+        def render_fn(geom, params, frustum, eye, seed, sample_offset,
+                      accum_in):
+            S = {**geom, **params}
+            pixel_idx = jnp.asarray(h_pix)
+            xs = jnp.asarray(h_xs)
+            ys = jnp.asarray(h_ys)
+
+            if self.regen:
+                part, _ = render_block_regen(
+                    S,
+                    self.closest,
+                    self.any_hit,
+                    frustum=frustum,
+                    eye=eye,
+                    width=W,
+                    height=H,
+                    pixel_x=xs,
+                    pixel_y=ys,
+                    pixel_idx=pixel_idx,
+                    sample_offset=sample_offset,
+                    spp=opt.spp,
+                    seed=seed,
+                    num_bounces=opt.num_bounces,
+                    min_bounces_for_rr=opt.min_bounces_for_rr,
+                    num_emissives=self.num_emissives,
+                    scene_diffuse_mat=self.scene_diffuse_mat,
+                    material_depth=self.material_depth,
+                    rr_tile_coherent=opt.rr_tile_coherent,
+                )
+                return accum_in + part
+
+            def sample_body(s, accum):
+                rad = render_sample_block(
+                    S,
+                    self.closest,
+                    self.any_hit,
+                    frustum=frustum,
+                    eye=eye,
+                    width=W,
+                    height=H,
+                    pixel_x=xs,
+                    pixel_y=ys,
+                    pixel_idx=pixel_idx,
+                    sample_idx=sample_offset + s,
+                    seed=seed,
+                    num_bounces=opt.num_bounces,
+                    min_bounces_for_rr=opt.min_bounces_for_rr,
+                    num_emissives=self.num_emissives,
+                    scene_diffuse_mat=self.scene_diffuse_mat,
+                    material_depth=self.material_depth,
+                    closest_bounce=self.closest_bounce,
+                    rr_tile_coherent=opt.rr_tile_coherent,
+                    compact=self.compact,
+                    unroll=self.sort_rays,
+                )
+                return accum + rad
+
+            part = jax.lax.fori_loop(
+                0, opt.spp, sample_body, jnp.zeros((n, 3), jnp.float32)
+            )
+            return accum_in + part
+
+        fn = jax.jit(render_fn, donate_argnums=(6,))
+        self._jit_cache[key] = fn
+        return fn
+
+    def _get_finalize_fn(self, W: int, H: int, emit: str):
+        """One tiny program closing a chunked render: restore pixel order
+        from blocked lane order (single constant-index gather) and, for u8
+        frames, tonemap + quantize — fetching 0.75 MB instead of 3 MB."""
+        key = ("fin", W, H, emit)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        n = W * H
+        _, _, h_pix, h_inv = blocked_pixel_order(W, H)
+        blocked = not np.array_equal(h_pix, np.arange(n, dtype=np.uint32))
+
+        def fin(accum, sample_weight, exposure):
+            a = accum[jnp.asarray(h_inv)] if blocked else accum
+            a = a.reshape(H, W, 3)
+            if emit == "f32":
+                return a
+            img = tonemap_reinhard(jnp, a, sample_weight, exposure)
+            return (jnp.clip(img, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+        fn = jax.jit(fin)
+        self._jit_cache[key] = fn
+        return fn
+
+    def _render_accum_blocked(self, opt: RenderOptions, camera=None):
+        """Render opt.spp samples in spp_per_launch chunks, returning the
+        device accumulator in blocked lane order. Launches queue
+        asynchronously (no per-chunk host sync): the tunnel's dispatch RTT
+        overlaps the previous chunk's execution; each execution still stays
+        under the watchdog bound."""
+        from dataclasses import replace
+
+        cam = camera or Camera.from_scene(self.scene, opt.width, opt.height)
+        frustum = jnp.asarray(cam.frustum)
+        eye = jnp.asarray(cam.position)
+        n = opt.width * opt.height
+        accum = jnp.zeros((n, 3), jnp.float32)
+        done = 0
+        while done < opt.spp:
+            chunk = min(self.spp_per_launch, opt.spp - done)
+            fn = self._get_chunk_carry_fn(replace(opt, spp=chunk))
+            accum = fn(
+                self.geom,
+                self.params,
+                frustum,
+                eye,
+                jnp.uint32(opt.seed),
+                jnp.int32(done),
+                accum,
+            )
+            done += chunk
+        return accum
 
     # ----- public API -----
 
@@ -539,20 +863,32 @@ class TpuRenderer:
         self, opt: RenderOptions, camera: Optional[Camera] = None
     ) -> jnp.ndarray:
         if opt.spp > self.spp_per_launch:
-            from dataclasses import replace
+            if self.batch_samples:
+                # the sample-batched program has its own lane layout; keep
+                # the original per-chunk host accumulation for it
+                from dataclasses import replace
 
-            total_ms = 0.0
-            accum = None
-            done = 0
-            while done < opt.spp:
-                chunk = min(self.spp_per_launch, opt.spp - done)
-                copt = replace(opt, spp=chunk)
-                part = self.render_accum_offset(copt, camera, sample_offset=done)
-                total_ms += self.last_render_ms
-                accum = part if accum is None else accum + part
-                done += chunk
-            self.last_render_ms = total_ms
-            return accum
+                total_ms = 0.0
+                accum = None
+                done = 0
+                while done < opt.spp:
+                    chunk = min(self.spp_per_launch, opt.spp - done)
+                    copt = replace(opt, spp=chunk)
+                    part = self.render_accum_offset(
+                        copt, camera, sample_offset=done
+                    )
+                    total_ms += self.last_render_ms
+                    accum = part if accum is None else accum + part
+                    done += chunk
+                self.last_render_ms = total_ms
+                return accum
+            fin = self._get_finalize_fn(opt.width, opt.height, "f32")
+            with Timer() as t:
+                accum = self._render_accum_blocked(opt, camera)
+                out = fin(accum, jnp.float32(1.0), jnp.float32(1.0))
+                out.block_until_ready()
+            self.last_render_ms = t.ms
+            return out
         return self.render_accum_offset(opt, camera, sample_offset=0)
 
     def render_accum_offset(
@@ -871,10 +1207,43 @@ class TpuRenderer:
         return (jnp.clip(img, 0.0, 1.0) * 255.0).astype(jnp.uint8)
 
     def render_u8(self, opt: RenderOptions, camera: Optional[Camera] = None):
-        """Render and tonemap fully on device; returns [H, W, 3] uint8."""
-        accum = self.render_accum(opt, camera)
-        return np.asarray(
-            self.tonemap_u8(
-                accum, jnp.float32(1.0 / opt.spp), jnp.float32(opt.exposure)
+        """Render and tonemap fully on device; returns [H, W, 3] uint8.
+
+        Chunked frames carry the accumulator on device in blocked lane
+        order and finalize (unblock + tonemap + quantize) in one closing
+        program; single-launch frames fuse the tonemap into the render
+        program itself — either way exactly ONE program touches pixel
+        order and the host fetches only the 0.75 MB u8 image."""
+        if opt.spp > self.spp_per_launch and not self.batch_samples:
+            fin = self._get_finalize_fn(opt.width, opt.height, "u8")
+            with Timer() as t:
+                accum = self._render_accum_blocked(opt, camera)
+                img = fin(
+                    accum,
+                    jnp.float32(1.0 / opt.spp),
+                    jnp.float32(opt.exposure),
+                )
+                out = np.asarray(img)
+            self.last_render_ms = t.ms
+            return out
+        if opt.spp > self.spp_per_launch:  # batch_samples, chunked
+            accum = self.render_accum(opt, camera)
+            return np.asarray(
+                self.tonemap_u8(
+                    accum, jnp.float32(1.0 / opt.spp), jnp.float32(opt.exposure)
+                )
             )
-        )
+        cam = camera or Camera.from_scene(self.scene, opt.width, opt.height)
+        fn = self._get_render_fn(opt, emit="u8")
+        with Timer() as t:
+            img = fn(
+                self.geom,
+                self.params,
+                jnp.asarray(cam.frustum),
+                jnp.asarray(cam.position),
+                jnp.uint32(opt.seed),
+                jnp.int32(0),
+            )
+            out = np.asarray(img)
+        self.last_render_ms = t.ms
+        return out

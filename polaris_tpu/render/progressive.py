@@ -63,6 +63,8 @@ class ProgressiveRenderer:
         self._lock = threading.Lock()
         self._latest_png: bytes = b""
         self.pass_history: list = []  # (accumulated_samples, ms) per pass
+        self.block_history: list = []  # block_assignment() per pass (the
+        # overlay chart's data, ≙ opengl.go:305-361 blockAssignmentHistory)
 
     # --- async state updates (≙ tracer.go UpdateState(Asynchronous)) ---
 
@@ -193,6 +195,7 @@ class ProgressiveRenderer:
                 self.accumulated_samples, target_samples, dt,
             )
             self.pass_history.append((self.accumulated_samples, dt))
+            self.block_history.append(self.block_assignment())
             self._publish(img)
             if (
                 self.accumulated_samples - last_snap >= snapshot_every
@@ -221,9 +224,13 @@ class ProgressiveRenderer:
 # interrupted by a page reload.
 _VIEWER_HTML = b"""<!doctype html><html><head><title>polaris-tpu</title>
 <style>body{background:#111;color:#ccc;font-family:monospace}
-#v{cursor:grab;user-select:none;-webkit-user-drag:none}</style></head>
-<body><img id=v src=/frame.png draggable=false>
-<p id=s>drag: orbit &middot; WASD/RF: move &middot; wheel: fov</p>
+#wrap{position:relative;display:inline-block}
+#v{cursor:grab;user-select:none;-webkit-user-drag:none;display:block}
+#ov{position:absolute;left:0;top:0;pointer-events:none}</style></head>
+<body><div id=wrap><img id=v src=/frame.png draggable=false>
+<canvas id=ov></canvas></div>
+<p id=s>drag: orbit &middot; WASD/RF: move &middot; wheel: fov &middot;
+TAB: overlay</p>
 <script>
 const img = document.getElementById('v');
 const sens = 0.005;            // radians per pixel, like the GL window
@@ -247,19 +254,66 @@ img.addEventListener('wheel', e => {
 });
 const keymap = {w:'forward', s:'backward', a:'left', d:'right',
                 r:'up', f:'down'};
+// TAB toggles the block-assignment overlay + stacked pass chart, like the
+// reference's interactive UI (opengl.go:193-213, 305-361)
+let overlay = false, stats = null;
 document.addEventListener('keydown', e => {
+  if (e.key === 'Tab') { e.preventDefault(); overlay = !overlay; draw(); return; }
   const dir = keymap[e.key.toLowerCase()];
   if (dir) fetch(`/move?dir=${dir}&step=0.25`);
 });
+const cv = document.getElementById('ov'), cx = cv.getContext('2d');
+const palette = ['#e6194b','#3cb44b','#ffe119','#4363d8','#f58231','#911eb4'];
+function draw() {
+  cv.width = img.clientWidth; cv.height = img.clientHeight;
+  cx.clearRect(0, 0, cv.width, cv.height);
+  if (!overlay || !stats) return;
+  const fw = stats.frame.width, fh = stats.frame.height;
+  const sx = cv.width / fw, sy = cv.height / fh;
+  cx.font = '12px monospace'; cx.lineWidth = 2;
+  stats.blocks.forEach((b, i) => {           // per-device block boxes
+    const c = palette[i % palette.length];
+    cx.strokeStyle = c; cx.fillStyle = c;
+    cx.strokeRect(1, b.y0 * sy + 1, b.width * sx - 2, b.height * sy - 2);
+    cx.fillText(`${b.device} ${b.render_ms} ms`, 6, b.y0 * sy + 14);
+  });
+  const hist = stats.block_history || [];    // stacked assignment chart
+  if (hist.length > 1) {
+    const ch = Math.min(80, cv.height / 4), cw = Math.min(240, cv.width / 2);
+    const x0 = 4, y1 = cv.height - 4, dx = cw / (hist.length - 1);
+    const nrows = Math.max(...hist.map(p => p.length));
+    cx.globalAlpha = 0.75;
+    for (let r = 0; r < nrows; r++) {        // one band per device row
+      cx.fillStyle = palette[r % palette.length];
+      cx.beginPath(); cx.moveTo(x0, y1 - base(hist[0], r) * ch);
+      hist.forEach((p, i) =>
+        cx.lineTo(x0 + i * dx, y1 - (base(p, r) + frac(p, r)) * ch));
+      for (let i = hist.length - 1; i >= 0; i--)
+        cx.lineTo(x0 + i * dx, y1 - base(hist[i], r) * ch);
+      cx.closePath(); cx.fill();
+    }
+    cx.globalAlpha = 1.0;
+    cx.strokeStyle = '#ccc'; cx.lineWidth = 1;
+    cx.strokeRect(x0, y1 - ch, cw, ch);
+    cx.fillStyle = '#ccc';
+    cx.fillText('block distribution / pass', x0 + 4, y1 - ch - 4);
+  }
+  function frac(p, r) { return r < p.length ? p[r].height / fh : 0; }
+  function base(p, r) {
+    let b = 0; for (let k = 0; k < r; k++) b += frac(p, k); return b;
+  }
+}
 setInterval(() => {                       // refresh without reloading
   const probe = new Image();
-  probe.onload = () => { img.src = probe.src; };
+  probe.onload = () => { img.src = probe.src; draw(); };
   probe.src = '/frame.png?t=' + Date.now();
 }, 1000);
 setInterval(async () => {
-  const st = await (await fetch('/stats')).json();
+  stats = await (await fetch('/stats')).json();
   document.getElementById('s').textContent =
-    `${st.accumulated_samples} spp accumulated | drag: orbit | WASD/RF: move | wheel: fov`;
+    `${stats.accumulated_samples} spp accumulated | drag: orbit | ` +
+    `WASD/RF: move | wheel: fov | TAB: overlay`;
+  if (overlay) draw();
 }, 1000);
 </script></body></html>"""
 
@@ -293,6 +347,13 @@ def _start_server(prog: ProgressiveRenderer, port: int):
                         # ≙ the TAB overlay's block-assignment boxes
                         # (opengl.go:193-213)
                         "blocks": prog.block_assignment(),
+                        # per-pass assignment history for the overlay's
+                        # stacked chart (opengl.go:305-361)
+                        "block_history": prog.block_history[-100:],
+                        "frame": {
+                            "width": prog.opt.width,
+                            "height": prog.opt.height,
+                        },
                         "camera": {
                             "eye": [float(v) for v in prog.camera.position],
                             "look_at": [float(v) for v in prog.camera.look_at],

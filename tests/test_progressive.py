@@ -145,6 +145,43 @@ def test_orbit_endpoint_and_stats_blocks(cornell_scene):
         server.shutdown()
 
 
+def test_viewer_overlay_embeds_assignment_data(cornell_scene):
+    """The viewer page draws the TAB overlay (block-assignment boxes over
+    the image + stacked per-pass distribution chart, ≙ the reference's
+    in-window UI, opengl.go:193-213,305-361) and /stats feeds it the block
+    history + frame dimensions."""
+    import json
+    import urllib.request
+
+    opt = RenderOptions(width=16, height=16, spp=1, num_bounces=2,
+                        min_bounces_for_rr=3)
+    prog = ProgressiveRenderer(cornell_scene, opt, mode="bvh")
+    prog.step()
+    prog.pass_history.append((1, 1.0))
+    prog.block_history.append(prog.block_assignment())
+    from polaris_tpu.render.progressive import _start_server
+
+    server = _start_server(prog, 0)
+    port = server.server_address[1]
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/") as r:
+            page = r.read().decode()
+        # overlay canvas stacked on the image, toggled by TAB
+        assert 'canvas id=ov' in page and "'Tab'" in page
+        # block boxes: strokeRect per device row with its render time
+        assert "stats.blocks.forEach" in page and "strokeRect" in page
+        assert "render_ms" in page
+        # stacked distribution chart from the per-pass history
+        assert "block_history" in page and "block distribution" in page
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/stats") as r:
+            stats = json.loads(r.read())
+        assert stats["frame"] == {"width": 16, "height": 16}
+        assert len(stats["block_history"]) == 1
+        assert stats["block_history"][0][0]["height"] == 16
+    finally:
+        server.shutdown()
+
+
 def test_progressive_pool_mode_blocks(cornell_scene):
     """Progressive rendering through the feedback worker pool: image equals
     the single-renderer result and /stats blocks are the measured bands."""
