@@ -481,13 +481,21 @@ class CpuRenderer:
             r = np.abs(out0[key]).max(axis=1)
             return d > (2e-4 + 1e-3 * r)
 
-        bad = (A["occl_mask"] != B["occl_mask"]) | (
+        masks = (A["occl_mask"] != B["occl_mask"]) | (
             A["next_mask"] != B["next_mask"]
         )
-        bad |= jump("occl_value") | jump("emit_add")
+        values = jump("occl_value") | jump("emit_add")
         d_resp = np.abs(A["next_d"] - B["next_d"]).max(axis=1) * ratio
-        bad |= (d_resp > 0.05) & out0["next_mask"]
-        bad |= jump("throughput") & out0["next_mask"]
+        dirs = (d_resp > 0.05) & out0["next_mask"]
+        tps = jump("throughput") & out0["next_mask"]
+        bad = masks | values | dirs | tps
+        # cause decomposition (diagnostics for tightening the per-scene
+        # unstable bounds; see scripts/stab_decompose.py)
+        for k, m in (("mask_flip", masks), ("value_jump", values),
+                     ("dir_resp", dirs), ("throughput_jump", tps)):
+            self.stab_sources[k] = self.stab_sources.get(k, 0) + int(
+                (chk & m).sum()
+            )
         # forward noise propagation: the rescaled probe response IS the
         # first-order noise estimate for the next bounce's inputs
         # (dispersive/specular chains amplify multiplicatively; probing at
@@ -537,6 +545,7 @@ class CpuRenderer:
         )
         accum = np.zeros((n, 3), np.float32)
         unstable = np.zeros(n, bool)
+        self.stab_sources = {}  # flag-cause counters (first-flag wins)
         num_emissives = int(sc.emis_area.shape[0])
         # per-bounce live-lane fractions (closest pass entry / NEE any-hit),
         # averaged over samples — the honest "useful ray" accounting behind
@@ -570,6 +579,9 @@ class CpuRenderer:
                         ray_o, ray_d, maxt, chk, (t, inst, tri, bu, bv, hit),
                         noise,
                     )
+                    self.stab_sources["closest"] = self.stab_sources.get(
+                        "closest", 0
+                    ) + int(u_new.sum())
                     unstable |= u_new
                 t = np.where(hit, t, 0.0).astype(np.float32)  # keep lanes finite
                 # miss shading (pt_integrator.cl:214-275)
@@ -618,7 +630,7 @@ class CpuRenderer:
                     nee = out["occl_mask"] & (~occluded)
                     accum[nee] += out["occl_value"][nee]
                     if stability:
-                        unstable |= self.probe_any(
+                        u_any = self.probe_any(
                             out["occl_o"],
                             out["occl_d"],
                             out["occl_maxt"],
@@ -626,6 +638,10 @@ class CpuRenderer:
                             occluded,
                             noise,
                         )
+                        self.stab_sources["any"] = self.stab_sources.get(
+                            "any", 0
+                        ) + int(u_any.sum())
+                        unstable |= u_any
                 ray_o = out["next_o"]
                 ray_d = out["next_d"]
                 throughput = out["throughput"]

@@ -35,13 +35,20 @@ from jax.experimental.pallas import tpu as pltpu
 from . import vec as V
 from .intersect import Hit
 
-TILE = (8, 128)
+import os as _os
+
+# Packet height (rows of 128 lanes per traversal tile). 8 -> the classic
+# 1024-ray packet over a 32x32 pixel block. 2 -> 256-ray packets over
+# 16x16 blocks: the round-5 replay sweep (ROOFLINE_TERRAIN_*.json) counts
+# 3.3x fewer triangle tests per ray on deep scenes (a tile traverses the
+# UNION of its rays' paths, and the union tightens superlinearly), priced
+# against ~1.6x more reduction syncs. Env-tunable for A/B; the integrator
+# picks the matching blocked pixel order (16x16 vs 32x32) automatically.
+TILE = (int(_os.environ.get("POLARIS_TILE_ROWS", "8")), 128)
 TILE_RAYS = TILE[0] * TILE[1]
 # sub-tiles processed per grid step: amortizes the fixed per-step pipeline
 # overhead (~50us measured) over independent 1024-ray packets. Env-tunable
 # for A/B (VMEM per step = ~14 arrays x BLOCK_TILES x 4 KB).
-import os as _os  # noqa: E402
-
 BLOCK_TILES = int(_os.environ.get("POLARIS_BLOCK_TILES", "16"))
 BLOCK_RAYS = BLOCK_TILES * TILE_RAYS
 STACK_SIZE = 64

@@ -157,10 +157,20 @@ def make_sorted_pass():
     return wrap
 
 
-TILE_LANES = 1024  # lanes per traversal tile == pixels per 32x32 block
+TILE_LANES = 1024  # lanes per adaptive-sampling block (32x32 pixels)
 
 
-def blocked_pixel_order(width: int, height: int, block: int = 32):
+def _default_block() -> int:
+    """Pixel-block edge matching the traversal packet size: 1024-ray
+    (8,128) packets walk 32x32 blocks; 256-ray (2,128) packets (the
+    POLARIS_TILE_ROWS=2 experiment, docs/perf.md round 5) walk 16x16."""
+    from ..ops.intersect_pallas import TILE_RAYS
+
+    b = int(round(TILE_RAYS ** 0.5))
+    return b if b * b == TILE_RAYS else 32
+
+
+def blocked_pixel_order(width: int, height: int, block: int = 0):
     """Host-side lane->pixel mapping in block x block screen tiles.
 
     A traversal tile of 1024 consecutive lanes then covers a 32x32 pixel
@@ -171,6 +181,8 @@ def blocked_pixel_order(width: int, height: int, block: int = 32):
     once per render to restore pixel order). Falls back to row-major when
     the frame doesn't divide into blocks.
     """
+    if not block:
+        block = _default_block()
     n = width * height
     if width % block or height % block:
         idx = np.arange(n, dtype=np.int64)

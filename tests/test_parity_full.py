@@ -136,6 +136,88 @@ def test_dispersive_512(_scene):
     _gate(_scene("dispersive"), opt, modes=("packet", "pallas"), max_unstable=0.01)
 
 
+def test_terrain_512_streamed_oracle():
+    """Round-4 VERDICT weak #5 / item 4: the streamed kernels' 512²-only
+    surfaces (window-cache tags across many more DMAs than the pinned
+    small-resolution tests issue) against the ORACLE under the
+    decision-stability contract. A 33k-tri terrain keeps the brute-force
+    oracle feasible; POLARIS_RESIDENT_KB=1 forces nearly every node visit
+    through the HBM window DMA + 2-way LRU cache machinery, so the DMA
+    path carries the full 512² ray volume. (The 819k-tri node-count
+    surfaces — 24-bit entry packing at real depths — are covered by the
+    cross-kernel gate below, where the oracle is infeasible.)"""
+    import os
+
+    from polaris_tpu.asset.compiler.compiler import compile_scene
+    from polaris_tpu.asset.procedural import make_terrain_scene
+
+    scene = compile_scene(make_terrain_scene(grid=128))  # 32.8k tris
+    opt = RenderOptions(
+        width=512, height=512, spp=1, num_bounces=2, min_bounces_for_rr=3
+    )
+    os.environ["POLARIS_RESIDENT_KB"] = "1"
+    try:
+        _gate(scene, opt, modes=("pallas_nodes", "pallas8_nodes"))
+    finally:
+        del os.environ["POLARIS_RESIDENT_KB"]
+
+
+def test_terrain819k_512_cross_kernel():
+    """Full-scale big-scene gate: 819k tris / 49k nodes at 512² — real
+    node counts exercise the 24-bit entry packing and the resident-prefix
+    boundary that no small pin reaches. The brute-force oracle is
+    infeasible here (819k x 262k MT tests); the reference traversal is the
+    independent XLA per-packet lockstep mode ('bvh'), itself oracle-gated
+    at 512² on the scenes above and at small scale on terrain
+    (tests/test_parity.py). The streamed kernels must agree everywhere —
+    same det²-scaled leaf arithmetic, so to f32 noise."""
+    from polaris_tpu.asset.compiler.compiler import compile_scene
+    from polaris_tpu.asset.procedural import make_terrain_scene
+
+    scene = compile_scene(make_terrain_scene(grid=640))
+    opt = RenderOptions(
+        width=512, height=512, spp=1, num_bounces=2, min_bounces_for_rr=3
+    )
+    ref = np.asarray(TpuRenderer(scene, mode="bvh").render_accum(opt))
+    assert np.isfinite(ref).all() and ref.mean() > 0.01
+    for mode in ("pallas_nodes", "pallas8_nodes"):
+        got = np.asarray(TpuRenderer(scene, mode=mode).render_accum(opt))
+        np.testing.assert_allclose(
+            got, ref, atol=2e-4, rtol=1e-3, err_msg=mode
+        )
+
+
+def test_adaptive_512_equals_fixed_count():
+    """512² adaptive-render equivalence (VERDICT item 4): every stopped
+    block's accumulator must be BIT-IDENTICAL to a fixed-count uniform
+    render at that block's spp — the counter-keyed RNG guarantee, here at
+    full resolution where the block grid (256 blocks) and the lane padding
+    actually bite. tol chosen so blocks stop at different counts."""
+    import os
+
+    from polaris_tpu.asset.compiler.compiler import compile_scene
+    from polaris_tpu.asset.wavefront import read_scene
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    scene = compile_scene(read_scene(os.path.join(here, "scenes", "sphere.obj")))
+    opt = RenderOptions(
+        width=512, height=512, spp=6, num_bounces=2, min_bounces_for_rr=3
+    )
+    r = TpuRenderer(scene, mode="pallas")
+    accum, spp_map = r.render_adaptive(opt, tol=0.25, chunk=2, min_spp=2)
+    counts = np.unique(spp_map)
+    assert len(counts) > 1, "tol must make some blocks stop early"
+    assert spp_map.max() == 6 and spp_map.min() >= 2
+    for c in counts:
+        uopt = RenderOptions(
+            width=512, height=512, spp=int(c), num_bounces=2,
+            min_bounces_for_rr=3,
+        )
+        uni = np.asarray(TpuRenderer(scene, mode="pallas").render_accum(uopt))
+        sel = spp_map == c
+        np.testing.assert_array_equal(accum[sel], uni[sel])
+
+
 def test_non_divisible_shape(cornell_scene):
     """499x313 is divisible by neither the 32x32 block order nor the
     1024-lane traversal tile — exercises every padding path."""
