@@ -42,7 +42,8 @@ def main():
         opt = RenderOptions(
             width=w, height=h, spp=spp, num_bounces=nb, min_bounces_for_rr=3
         )
-        r = TpuRenderer(scene, mode="auto")
+        # regen: estimator-exact wavefront path regeneration (bench.py note)
+        r = TpuRenderer(scene, mode="auto", regen=True)
         r.spp_per_launch = 16
         t0 = time.time()
         img = np.asarray(r.render_u8(opt))  # warmup/compile

@@ -112,10 +112,12 @@ def test_mitsuba_512(_scene):
     opt = RenderOptions(
         width=512, height=512, spp=1, num_bounces=3, min_bounces_for_rr=4
     )
-    # measured 3.7% flagged: the checker/roughness textures put that many
-    # lanes within noise-amplification range of a texel edge (zero
-    # stable-lane violations; docs/parity.md #14)
-    _gate(_scene("mitsuba"), opt, modes=("packet", "pallas"), max_unstable=0.05)
+    # measured 1.58% flagged under the round-5 calibrated texel-edge
+    # probe (was 3.7% at the eta-floored superset band): the checker/
+    # roughness textures put that many lanes within REAL-noise
+    # amplification range of a texel edge (zero stable-lane violations;
+    # docs/parity.md #14 round-5 refinement)
+    _gate(_scene("mitsuba"), opt, modes=("packet", "pallas"), max_unstable=0.02)
 
 
 def test_instanced_512(_scene):
