@@ -139,11 +139,11 @@ def cmd_render_frame(args) -> int:
     )
     if getattr(args, "regen", False) and (
         args.pool or args.tiles or args.sample_shards > 1
-        or getattr(args, "adaptive", 0.0) > 0
+        or getattr(args, "adaptive", 0.0) > 0 or args.debug
     ):
         _log.error(
             "--regen applies to the plain single-device frame path; drop "
-            "--pool/--tiles/--sample-shards/--adaptive"
+            "--pool/--tiles/--sample-shards/--adaptive/--debug"
         )
         return 2
     if getattr(args, "adaptive", 0.0) > 0 and (
@@ -271,6 +271,9 @@ def cmd_render_progressive(args) -> int:
             "accumulate until --target-spp"
         )
         return 2
+    if getattr(args, "regen", False) and getattr(args, "pool", 0):
+        _log.error("--regen is single-renderer; drop --pool")
+        return 2
     scene = _load_scene(args.scene)
     devices = _select_devices(args)
     pool = None
@@ -280,7 +283,10 @@ def cmd_render_progressive(args) -> int:
         pool = make_device_pool(
             scene, mode=args.mode, devices=devices[: args.pool]
         )
-    prog = ProgressiveRenderer(scene, opt, mode=args.mode, pool=pool)
+    prog = ProgressiveRenderer(
+        scene, opt, mode=args.mode, pool=pool,
+        regen=getattr(args, "regen", False),
+    )
     import contextlib
 
     import jax

@@ -447,10 +447,10 @@ class CpuRenderer:
         flags were such value/throughput jumps). The envelope is
         calibrated: measured cross-backend uv divergence on mitsuba
         primaries is p50 0.11x / p99 0.60x / max 1.3x of
-        B1*noise/(4*PROBE_ETA) (scripts note in docs/parity.md #14), so
-        the probe band noise/(2*PROBE_ETA)*B1 covers the worst measured
-        lane with a 1.5x margin; both uv diagonals are probed since
-        texel edges can parallel either."""
+        pred = B1*noise/(4*PROBE_ETA) (docs/parity.md #14 round-5 note),
+        so the probe band is 1.5x pred — a 1.15x margin over the worst
+        measured lane, chosen with the magnitude filter's own slack on
+        top (realized divergences sit at p50 0.11x pred)."""
         # Pair 1 — everything EXCEPT barycentrics, probed at a measurable
         # scale (>= ~4 ulps), responses rescaled by ratio = noise/(2*eta)
         # (the response to the lane's ACTUAL accumulated noise under
@@ -601,7 +601,11 @@ class CpuRenderer:
         )
         accum = np.zeros((n, 3), np.float32)
         unstable = np.zeros(n, bool)
-        self.stab_sources = {}  # flag-cause counters (first-flag wins)
+        # flag-cause counters. Diagnostics ONLY: causes within one shade
+        # probe overlap (a lane may increment several keys), and 'uv_step'
+        # is the whole bary-probe OR (incl. bary-induced mask flips), so
+        # per-cause sums can exceed the flagged-lane count.
+        self.stab_sources = {}
         num_emissives = int(sc.emis_area.shape[0])
         # per-bounce live-lane fractions (closest pass entry / NEE any-hit),
         # averaged over samples — the honest "useful ray" accounting behind

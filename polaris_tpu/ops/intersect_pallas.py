@@ -42,8 +42,15 @@ import os as _os
 # 16x16 blocks: the round-5 replay sweep (ROOFLINE_TERRAIN_*.json) counts
 # 3.3x fewer triangle tests per ray on deep scenes (a tile traverses the
 # UNION of its rays' paths, and the union tightens superlinearly), priced
-# against ~1.6x more reduction syncs. Env-tunable for A/B; the integrator
-# picks the matching blocked pixel order (16x16 vs 32x32) automatically.
+# against ~1.6x more reduction syncs. MEASURED NEGATIVE end-to-end
+# (BENCH_TILEROWS.json: the kernel goes scalar-bound at small tiles) —
+# rows=8 stays the default; the knob remains for future hardware.
+# Scope: all traversal kernels + blocked_pixel_order follow this; the
+# adaptive-sampling block granularity (integrator.TILE_LANES=1024) and
+# rng.rr_block_key's 32x32 RR blocks deliberately do NOT (both stay
+# correct/unbiased at any packet size — a convergence "block" just spans
+# several traversal tiles, and coherent-RR deaths span 4 tiles instead
+# of 1, weakening only the tile-skip payoff of that opt-in flag).
 TILE = (int(_os.environ.get("POLARIS_TILE_ROWS", "8")), 128)
 TILE_RAYS = TILE[0] * TILE[1]
 # sub-tiles processed per grid step: amortizes the fixed per-step pipeline

@@ -34,7 +34,8 @@ from jax.experimental.pallas import tpu as pltpu
 from . import vec as V
 from .intersect import Hit
 
-TILE = (8, 128)
+from .intersect_pallas import TILE  # POLARIS_TILE_ROWS applies here too
+
 TILE_RAYS = TILE[0] * TILE[1]
 BLOCK_TILES = 16
 BLOCK_RAYS = BLOCK_TILES * TILE_RAYS

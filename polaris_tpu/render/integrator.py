@@ -557,6 +557,15 @@ class TpuRenderer:
         self.params = {k: jnp.asarray(v) for k, v in params.items()}
         self.closest, self.any_hit = make_intersectors(None, scene, mode)
         self.closest_bounce = getattr(self.closest, "closest_bounce", None)
+        if self.regen and self.closest_bounce is not None:
+            # hybrid peels bounce 0 onto a different kernel; regen mixes
+            # bounce depths in one pass, so the peel cannot apply —
+            # silently dropping the user's traversal choice would be worse
+            _log.warning(
+                "regen is unsupported with the hybrid traversal's peeled "
+                "bounce kernel; using the sequential sample loop"
+            )
+            self.regen = False
         if sort_rays:
             # coherence-sort every traversal pass (see make_sorted_pass)
             wrap = make_sorted_pass()
@@ -645,64 +654,9 @@ class TpuRenderer:
 
         def render_fn(geom, params, frustum, eye, seed, sample_offset):
             S = {**geom, **params}
-            pixel_idx = jnp.asarray(h_pix)
-            xs = jnp.asarray(h_xs)
-            ys = jnp.asarray(h_ys)
-
-            if self.regen:
-                accum, _ = render_block_regen(
-                    S,
-                    self.closest,
-                    self.any_hit,
-                    frustum=frustum,
-                    eye=eye,
-                    width=W,
-                    height=H,
-                    pixel_x=xs,
-                    pixel_y=ys,
-                    pixel_idx=pixel_idx,
-                    sample_offset=sample_offset,
-                    spp=opt.spp,
-                    seed=seed,
-                    num_bounces=opt.num_bounces,
-                    min_bounces_for_rr=opt.min_bounces_for_rr,
-                    num_emissives=self.num_emissives,
-                    scene_diffuse_mat=self.scene_diffuse_mat,
-                    material_depth=self.material_depth,
-                    rr_tile_coherent=opt.rr_tile_coherent,
-                )
-                if blocked:
-                    accum = accum[jnp.asarray(h_inv)]
-                return self._emit(accum.reshape(H, W, 3), opt, emit)
-
-            def sample_body(s, accum):
-                rad = render_sample_block(
-                    S,
-                    self.closest,
-                    self.any_hit,
-                    frustum=frustum,
-                    eye=eye,
-                    width=W,
-                    height=H,
-                    pixel_x=xs,
-                    pixel_y=ys,
-                    pixel_idx=pixel_idx,
-                    sample_idx=sample_offset + s,
-                    seed=seed,
-                    num_bounces=opt.num_bounces,
-                    min_bounces_for_rr=opt.min_bounces_for_rr,
-                    num_emissives=self.num_emissives,
-                    scene_diffuse_mat=self.scene_diffuse_mat,
-                    material_depth=self.material_depth,
-                    closest_bounce=self.closest_bounce,
-                    rr_tile_coherent=opt.rr_tile_coherent,
-                    compact=self.compact,
-                    unroll=self.sort_rays,
-                )
-                return accum + rad
-
-            accum = jax.lax.fori_loop(
-                0, opt.spp, sample_body, jnp.zeros((n, 3), jnp.float32)
+            accum = self._block_partial(
+                S, opt, frustum, eye, seed, sample_offset, h_xs, h_ys,
+                h_pix,
             )
             if blocked:
                 # one constant-index gather restores pixel order (outside all
@@ -714,6 +668,72 @@ class TpuRenderer:
         fn = jax.jit(render_fn)
         self._jit_cache[key] = fn
         return fn
+
+    def _block_partial(self, S, opt: RenderOptions, frustum, eye, seed,
+                       sample_offset, h_xs, h_ys, h_pix):
+        """Sum of ``opt.spp`` samples' radiance in BLOCKED lane order — the
+        single implementation behind both the one-shot program and the
+        chunk-carry program (they must stay in lock-step or chunked and
+        whole renders diverge). Dispatches to wavefront regeneration or
+        the sequential sample loop."""
+        W, H = opt.width, opt.height
+        n = W * H
+        pixel_idx = jnp.asarray(h_pix)
+        xs = jnp.asarray(h_xs)
+        ys = jnp.asarray(h_ys)
+        if self.regen:
+            part, _ = render_block_regen(
+                S,
+                self.closest,
+                self.any_hit,
+                frustum=frustum,
+                eye=eye,
+                width=W,
+                height=H,
+                pixel_x=xs,
+                pixel_y=ys,
+                pixel_idx=pixel_idx,
+                sample_offset=sample_offset,
+                spp=opt.spp,
+                seed=seed,
+                num_bounces=opt.num_bounces,
+                min_bounces_for_rr=opt.min_bounces_for_rr,
+                num_emissives=self.num_emissives,
+                scene_diffuse_mat=self.scene_diffuse_mat,
+                material_depth=self.material_depth,
+                rr_tile_coherent=opt.rr_tile_coherent,
+            )
+            return part
+
+        def sample_body(s, accum):
+            rad = render_sample_block(
+                S,
+                self.closest,
+                self.any_hit,
+                frustum=frustum,
+                eye=eye,
+                width=W,
+                height=H,
+                pixel_x=xs,
+                pixel_y=ys,
+                pixel_idx=pixel_idx,
+                sample_idx=sample_offset + s,
+                seed=seed,
+                num_bounces=opt.num_bounces,
+                min_bounces_for_rr=opt.min_bounces_for_rr,
+                num_emissives=self.num_emissives,
+                scene_diffuse_mat=self.scene_diffuse_mat,
+                material_depth=self.material_depth,
+                closest_bounce=self.closest_bounce,
+                rr_tile_coherent=opt.rr_tile_coherent,
+                compact=self.compact,
+                unroll=self.sort_rays,
+            )
+            return accum + rad
+
+        return jax.lax.fori_loop(
+            0, opt.spp, sample_body, jnp.zeros((n, 3), jnp.float32)
+        )
 
     @staticmethod
     def _emit(accum, opt: RenderOptions, emit: str):
@@ -741,69 +761,14 @@ class TpuRenderer:
                opt.min_bounces_for_rr, opt.rr_tile_coherent)
         if key in self._jit_cache:
             return self._jit_cache[key]
-        W, H = opt.width, opt.height
-        n = W * H
-        h_xs, h_ys, h_pix, _ = blocked_pixel_order(W, H)
+        h_xs, h_ys, h_pix, _ = blocked_pixel_order(opt.width, opt.height)
 
         def render_fn(geom, params, frustum, eye, seed, sample_offset,
                       accum_in):
             S = {**geom, **params}
-            pixel_idx = jnp.asarray(h_pix)
-            xs = jnp.asarray(h_xs)
-            ys = jnp.asarray(h_ys)
-
-            if self.regen:
-                part, _ = render_block_regen(
-                    S,
-                    self.closest,
-                    self.any_hit,
-                    frustum=frustum,
-                    eye=eye,
-                    width=W,
-                    height=H,
-                    pixel_x=xs,
-                    pixel_y=ys,
-                    pixel_idx=pixel_idx,
-                    sample_offset=sample_offset,
-                    spp=opt.spp,
-                    seed=seed,
-                    num_bounces=opt.num_bounces,
-                    min_bounces_for_rr=opt.min_bounces_for_rr,
-                    num_emissives=self.num_emissives,
-                    scene_diffuse_mat=self.scene_diffuse_mat,
-                    material_depth=self.material_depth,
-                    rr_tile_coherent=opt.rr_tile_coherent,
-                )
-                return accum_in + part
-
-            def sample_body(s, accum):
-                rad = render_sample_block(
-                    S,
-                    self.closest,
-                    self.any_hit,
-                    frustum=frustum,
-                    eye=eye,
-                    width=W,
-                    height=H,
-                    pixel_x=xs,
-                    pixel_y=ys,
-                    pixel_idx=pixel_idx,
-                    sample_idx=sample_offset + s,
-                    seed=seed,
-                    num_bounces=opt.num_bounces,
-                    min_bounces_for_rr=opt.min_bounces_for_rr,
-                    num_emissives=self.num_emissives,
-                    scene_diffuse_mat=self.scene_diffuse_mat,
-                    material_depth=self.material_depth,
-                    closest_bounce=self.closest_bounce,
-                    rr_tile_coherent=opt.rr_tile_coherent,
-                    compact=self.compact,
-                    unroll=self.sort_rays,
-                )
-                return accum + rad
-
-            part = jax.lax.fori_loop(
-                0, opt.spp, sample_body, jnp.zeros((n, 3), jnp.float32)
+            part = self._block_partial(
+                S, opt, frustum, eye, seed, sample_offset, h_xs, h_ys,
+                h_pix,
             )
             return accum_in + part
 

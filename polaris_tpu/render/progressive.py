@@ -44,16 +44,21 @@ class ProgressiveRenderer:
         opt: RenderOptions,
         mode: str = "auto",
         pool=None,
+        regen: bool = False,
     ):
         """``pool``: optional WorkerPoolRenderer — passes render through the
         feedback-scheduled band workers instead of the single renderer, and
         /stats then reports the measured per-worker block assignment (the
         counterpart of the reference's TAB overlay boxes,
-        opengl.go:193-213)."""
+        opengl.go:193-213). ``regen``: wavefront path regeneration for the
+        per-pass renders (estimator-exact; single-renderer mode only)."""
         self.scene = scene
         self.opt = opt
         self.pool = pool
-        self.renderer = None if pool is not None else TpuRenderer(scene, mode=mode)
+        self.renderer = (
+            None if pool is not None
+            else TpuRenderer(scene, mode=mode, regen=regen)
+        )
         self.camera = Camera.from_scene(scene, opt.width, opt.height)
         # device-resident accumulator: per-pass traffic over the tunnel is
         # the tonemapped u8 image (0.75 MB at 512^2), not the 3 MB f32 HDR

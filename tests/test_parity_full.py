@@ -157,11 +157,15 @@ def test_terrain_512_streamed_oracle():
     opt = RenderOptions(
         width=512, height=512, spp=1, num_bounces=2, min_bounces_for_rr=3
     )
+    prev = os.environ.get("POLARIS_RESIDENT_KB")
     os.environ["POLARIS_RESIDENT_KB"] = "1"
     try:
         _gate(scene, opt, modes=("pallas_nodes", "pallas8_nodes"))
     finally:
-        del os.environ["POLARIS_RESIDENT_KB"]
+        if prev is None:
+            del os.environ["POLARIS_RESIDENT_KB"]
+        else:
+            os.environ["POLARIS_RESIDENT_KB"] = prev
 
 
 def test_terrain819k_512_cross_kernel():

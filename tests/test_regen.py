@@ -80,25 +80,14 @@ def test_regen_rr_and_offsets(cornell_scene):
     np.testing.assert_allclose(part, part_seq, rtol=2e-5, atol=2e-5)
 
 
-def test_regen_flag_sanitized():
+def test_regen_flag_sanitized(cornell_scene):
     """regen is an execution strategy for the plain integrator only; the
-    ctor drops it when combined with the special lane-layout modes."""
-    import polaris_tpu.render.integrator as I
-
-    class Dummy:  # no scene needed — ctor gate is pure python
-        pass
-
-    # direct attribute check via the ctor logic: regen and compact are
-    # mutually exclusive (compact permutes lanes per bounce)
-    from polaris_tpu.asset.wavefront import read_scene
-    from polaris_tpu.asset.compiler.compiler import compile_scene
-    import os
-
-    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    scene = compile_scene(
-        read_scene(os.path.join(here, "scenes", "cornell.obj"))
-    )
-    r = TpuRenderer(scene, mode="bvh", regen=True, compact=True)
+    ctor drops it when combined with the special lane-layout modes
+    (compact permutes lanes per bounce) and with hybrid's peeled bounce
+    kernel (regen mixes bounce depths in one pass)."""
+    r = TpuRenderer(cornell_scene, mode="bvh", regen=True, compact=True)
     assert r.regen is False
-    r = TpuRenderer(scene, mode="bvh", regen=True)
+    r = TpuRenderer(cornell_scene, mode="bvh", regen=True)
     assert r.regen is True
+    r = TpuRenderer(cornell_scene, mode="hybrid", regen=True)
+    assert r.regen is False
