@@ -116,7 +116,9 @@ def main():
     )
     # regen: estimator-exact wavefront path regeneration (see bench.py note)
     tr = TpuRenderer(scene, mode="auto", regen=True)
-    tr.spp_per_launch = 16  # 8 launches, each well under the watchdog
+    # 4 launches of ~0.9 s each (well under the watchdog): wider chunks
+    # amortize regen's straggler tail (measured 3.580 -> 3.548 s vs 16)
+    tr.spp_per_launch = 32
     tr.render_u8(opt128)  # warmup/compile
     frame_s = _best_of(lambda: tr.render_u8(opt128), n=2)
     rays128 = opt128.width * opt128.height * opt128.spp * opt128.num_bounces * 2
