@@ -80,6 +80,11 @@ def _add_render_opts(p: argparse.ArgumentParser) -> None:
                         "budget cap; 32x32 blocks stop once the mean 95%% "
                         "CI of per-pixel luminance falls below TOL "
                         "(try 0.02; 0 = off)")
+    p.add_argument("--denoise", type=int, default=0, metavar="ITERS",
+                   help="edge-avoiding à-trous wavelet denoise of the HDR "
+                        "frame before tonemapping, guided by a one-pass "
+                        "normal+depth prepass (try 4; 0 = off; no reference "
+                        "analogue — see docs/cli.md)")
     p.add_argument("--regen", action="store_true",
                    help="wavefront path regeneration: a dead lane restarts "
                         "at its own pixel with its next sample index inside "
@@ -154,6 +159,15 @@ def cmd_render_frame(args) -> int:
             "with one renderer); drop --pool/--tiles/--sample-shards"
         )
         return 2
+    if getattr(args, "denoise", 0) > 0 and (
+        args.pool or args.tiles or args.sample_shards > 1
+        or getattr(args, "adaptive", 0.0) > 0 or args.debug
+    ):
+        _log.error(
+            "--denoise applies to the plain single-device frame path; drop "
+            "--pool/--tiles/--sample-shards/--adaptive/--debug"
+        )
+        return 2
     scene = _load_scene(args.scene)
 
     import jax
@@ -207,6 +221,17 @@ def cmd_render_frame(args) -> int:
                     "adaptive: spp min/mean/max %d/%.1f/%d (budget %d)",
                     int(spp_map.min()), float(spp_map.mean()),
                     int(spp_map.max()), opt.spp,
+                )
+            elif getattr(args, "denoise", 0) > 0:
+                from .render.denoise import denoise_accum
+                from .render.shade import tonemap_reinhard
+
+                accum = denoise_accum(
+                    renderer, opt, np.asarray(renderer.render_accum(opt)),
+                    opt.spp, iterations=args.denoise,
+                )
+                img = np.asarray(
+                    tonemap_reinhard(np, accum, 1.0 / opt.spp, opt.exposure)
                 )
             else:
                 img = renderer.render(opt)
@@ -269,6 +294,12 @@ def cmd_render_progressive(args) -> int:
         _log.error(
             "--adaptive applies to 'render frame' only; progressive passes "
             "accumulate until --target-spp"
+        )
+        return 2
+    if getattr(args, "denoise", 0) > 0:
+        _log.error(
+            "--denoise applies to 'render frame' only; progressive "
+            "snapshots stay unfiltered"
         )
         return 2
     if getattr(args, "regen", False) and getattr(args, "pool", 0):

@@ -73,6 +73,30 @@ def save_hdr_stage(path: str) -> Stage:
     return run
 
 
+def denoise_stage(
+    iterations: int = 4,
+    c_phi: float = 0.4,
+    n_phi: float = 0.25,
+    d_phi: float = 0.05,
+) -> Stage:
+    """Edge-avoiding à-trous wavelet denoise of the HDR accumulator (no
+    reference analogue — render/denoise.py). Place BEFORE ``tonemap_stage``;
+    the output keeps the accumulator's sum-of-samples scale so the tonemap's
+    sample-count division is unchanged."""
+
+    def run(img, opt, ctx):
+        from .denoise import denoise_accum
+
+        return denoise_accum(
+            ctx["renderer"], opt, img,
+            ctx.get("accumulated_samples", opt.spp),
+            camera=ctx.get("camera"),
+            iterations=iterations, c_phi=c_phi, n_phi=n_phi, d_phi=d_phi,
+        )
+
+    return run
+
+
 def debug_dump_stage(channels: Sequence[str], out_dir: str = ".") -> Stage:
     """Dump diagnostic PNGs for the named channels (≙ the reference's
     DebugFlags gating per-frame debug images, pipeline.go:116-200)."""
