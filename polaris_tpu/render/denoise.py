@@ -27,6 +27,7 @@ so a converged (noise-free) flat region passes through unchanged.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional, Tuple
 
 import numpy as np
@@ -156,41 +157,53 @@ def render_guides(
     but never bleed across the silhouette (the normal term kills those taps).
     """
     import jax
+    import jax
     import jax.numpy as jnp
 
     from ..asset.camera import Camera
 
     scene = renderer.scene
     cam = camera or Camera.from_scene(scene, opt.width, opt.height)
-    S = {**renderer.geom, **renderer.params}
     Wd, Hd = opt.width, opt.height
-    n = Wd * Hd
 
-    @jax.jit
-    def run(frustum, eye):
-        pixel_idx = jnp.arange(n, dtype=jnp.uint32)
-        xs = (pixel_idx % Wd).astype(jnp.int32)
-        ys = (pixel_idx // Wd).astype(jnp.int32)
-        U_center = lambda stream: jnp.full((n,), 0.5, jnp.float32)
-        o, d = gen_rays(jnp, frustum, eye, Wd, Hd, xs, ys, U_center)
-        hit = renderer.closest(
-            S, o, d, jnp.full(n, V.FLT_MAX), jnp.ones(n, bool)
-        )
-        # flat-row vertex-normal fetch (see shade.py: multi-dim gathers trap)
-        tn = S["tri_normals"].reshape(-1, 9)[hit.tri]
-        w = 1.0 - hit.u - hit.v
-        n_obj = (
-            w[..., None] * tn[..., 0:3]
-            + hit.u[..., None] * tn[..., 3:6]
-            + hit.v[..., None] * tn[..., 6:9]
-        )
-        w2o = V.take_small(jnp, S["inst_w2o"], hit.inst)
-        nw = V.normalize3(jnp, V.transform_normal(jnp, w2o, n_obj))
-        nrm = jnp.where(hit.mask[..., None], nw, 0.0)
-        t = jnp.where(hit.mask, hit.t, 0.0)
-        tmax = jnp.maximum(jnp.max(t), 1e-6)
-        z = jnp.where(hit.mask, t / tmax, 1.0)
-        return nrm.reshape(Hd, Wd, 3), z.reshape(Hd, Wd)
+    # cache the jitted program PER RENDERER + frame shape: a fresh closure
+    # per call would retrace and recompile the traversal every frame
+    # (measured: ~6 s/frame steady-state through the tunnel)
+    cache = getattr(renderer, "_guide_fn_cache", None)
+    if cache is None:
+        cache = renderer._guide_fn_cache = {}
+    run = cache.get((Wd, Hd))
+    if run is None:
+        S = {**renderer.geom, **renderer.params}
+        n = Wd * Hd
+
+        @jax.jit
+        def run(frustum, eye):
+            pixel_idx = jnp.arange(n, dtype=jnp.uint32)
+            xs = (pixel_idx % Wd).astype(jnp.int32)
+            ys = (pixel_idx // Wd).astype(jnp.int32)
+            U_center = lambda stream: jnp.full((n,), 0.5, jnp.float32)
+            o, d = gen_rays(jnp, frustum, eye, Wd, Hd, xs, ys, U_center)
+            hit = renderer.closest(
+                S, o, d, jnp.full(n, V.FLT_MAX), jnp.ones(n, bool)
+            )
+            # flat-row vertex-normal fetch (shade.py: multi-dim gather trap)
+            tn = S["tri_normals"].reshape(-1, 9)[hit.tri]
+            w = 1.0 - hit.u - hit.v
+            n_obj = (
+                w[..., None] * tn[..., 0:3]
+                + hit.u[..., None] * tn[..., 3:6]
+                + hit.v[..., None] * tn[..., 6:9]
+            )
+            w2o = V.take_small(jnp, S["inst_w2o"], hit.inst)
+            nw = V.normalize3(jnp, V.transform_normal(jnp, w2o, n_obj))
+            nrm = jnp.where(hit.mask[..., None], nw, 0.0)
+            t = jnp.where(hit.mask, hit.t, 0.0)
+            tmax = jnp.maximum(jnp.max(t), 1e-6)
+            z = jnp.where(hit.mask, t / tmax, 1.0)
+            return nrm.reshape(Hd, Wd, 3), z.reshape(Hd, Wd)
+
+        cache[(Wd, Hd)] = run
 
     nrm, z = run(jnp.asarray(cam.frustum), jnp.asarray(cam.position))
     return np.asarray(nrm, np.float32), np.asarray(z, np.float32)
@@ -211,16 +224,45 @@ def denoise_accum(
 ) -> np.ndarray:
     """Denoise an HDR accumulator, returning it at the SAME scale (sum of
     samples, not mean) so downstream tonemap stages keep dividing by the
-    sample count unchanged."""
+    sample count unchanged.
+
+    The whole filter (despeckle + every à-trous level) runs as ONE jitted
+    program — eager per-op dispatch would cost ~24 ms tunnel RTT × hundreds
+    of ops on TPU; fused it is a single cheap elementwise kernel chain.
+    """
     import jax.numpy as jnp
 
     ns = max(int(accumulated_samples), 1)
-    mean = jnp.asarray(accum, jnp.float32) / ns
-    if suppress_fireflies:
-        mean = despeckle(jnp, mean)
     nrm, z = render_guides(renderer, opt, camera)
-    out = atrous_denoise(
-        jnp, mean, jnp.asarray(nrm), jnp.asarray(z),
-        iterations=iterations, c_phi=c_phi, n_phi=n_phi, d_phi=d_phi,
+    out = _get_filter_fn()(
+        jnp.asarray(accum), jnp.float32(ns), jnp.asarray(nrm), jnp.asarray(z),
+        jnp.float32(c_phi), jnp.float32(n_phi), jnp.float32(d_phi),
+        iters=iterations, fireflies=suppress_fireflies,
     )
-    return np.asarray(out, np.float32) * ns
+    return np.asarray(out, np.float32)
+
+
+_FILTER_FN = None
+
+
+def _get_filter_fn():
+    """The jitted despeckle + à-trous program, cached at module scope so
+    repeated calls reuse the compiled executable (jit caches per function
+    OBJECT — a per-call closure recompiles every frame)."""
+    global _FILTER_FN
+    if _FILTER_FN is None:
+        import jax
+        import jax.numpy as jnp
+
+        @partial(jax.jit, static_argnames=("iters", "fireflies"))
+        def run(acc, samples, nrm, z, cp, np_, dp, iters, fireflies):
+            mean = acc.astype(jnp.float32) / samples
+            if fireflies:
+                mean = despeckle(jnp, mean)
+            return atrous_denoise(
+                jnp, mean, nrm, z,
+                iterations=iters, c_phi=cp, n_phi=np_, d_phi=dp,
+            ) * samples
+
+        _FILTER_FN = run
+    return _FILTER_FN
