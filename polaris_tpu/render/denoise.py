@@ -43,15 +43,18 @@ _B3 = (1.0 / 16.0, 1.0 / 4.0, 3.0 / 8.0, 1.0 / 4.0, 1.0 / 16.0)
 
 
 def despeckle(xp, color):
-    """Clamp each pixel's luminance to the max over its 8 neighbors.
+    """Clamp each pixel's luminance to the SECOND-brightest of its 8
+    neighbors.
 
-    The à-trous color edge-stop PRESERVES isolated fireflies (their color
-    distance to every neighbor is huge, so all cross taps vanish and the
-    outlier keeps ~its full value). This is the standard suppression: an
-    isolated single-pixel outlier drops to its brightest neighbor, while
-    any feature spanning >= 2 pixels has a same-luminance neighbor and is
-    untouched. Slightly biased, like all firefly removal — only applied on
-    the explicit denoise path.
+    The à-trous color edge-stop PRESERVES fireflies (their color distance
+    to every neighbor is huge, so all cross taps vanish and the outlier
+    keeps ~its full value). This is the standard suppression: a 1–2 pixel
+    speckle (Russian-roulette boosts often land in adjacent pairs) has at
+    most one bright neighbor, so its second-max is background and it drops
+    to it; any genuine feature gives each of its pixels >= 2 same-luminance
+    neighbors (a 2x2 block has 3) and passes through untouched. Slightly
+    biased, like all firefly removal — only applied on the explicit denoise
+    path.
     """
     lum = (
         0.2126 * color[..., 0]
@@ -60,14 +63,19 @@ def despeckle(xp, color):
     )
     lp = xp.pad(lum, ((1, 1), (1, 1)), mode="edge")
     H, W = lum.shape
-    nmax = None
+    max1 = None  # brightest neighbor
+    max2 = None  # second-brightest neighbor
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
             if dy == 0 and dx == 0:
                 continue
             s = lp[1 + dy:1 + dy + H, 1 + dx:1 + dx + W]
-            nmax = s if nmax is None else xp.maximum(nmax, s)
-    scale = xp.where(lum > nmax, nmax / xp.maximum(lum, 1e-20), 1.0)
+            if max1 is None:
+                max1, max2 = s, xp.full_like(s, -xp.inf)
+            else:
+                max2 = xp.maximum(max2, xp.minimum(max1, s))
+                max1 = xp.maximum(max1, s)
+    scale = xp.where(lum > max2, max2 / xp.maximum(lum, 1e-20), 1.0)
     return color * scale[..., None]
 
 

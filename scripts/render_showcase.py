@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--spp", type=int, default=32)
     ap.add_argument("--mode", default="auto")
     ap.add_argument("--scenes", nargs="*", default=list(CONFIGS))
+    ap.add_argument("--denoise-demo", action="store_true",
+                    help="also write cornell_denoise_demo.png: noisy "
+                         "low-spp frame | à-trous denoised, side by side")
     args = ap.parse_args()
 
     from PIL import Image
@@ -50,6 +53,32 @@ def main():
         path = os.path.join(out_dir, f"{name}_{args.res}_{args.spp}spp.png")
         Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).save(path)
         print(f"{name}: {dt:.1f}s -> {path}", flush=True)
+
+    if args.denoise_demo:
+        from polaris_tpu.render.denoise import denoise_accum
+        from polaris_tpu.render.shade import tonemap_reinhard
+
+        scene = compile_scene(
+            read_scene(os.path.join(HERE, "scenes", "cornell.obj"))
+        )
+        r = TpuRenderer(scene, mode=args.mode)
+        opt = RenderOptions(width=args.res, height=args.res, spp=2,
+                            **CONFIGS["cornell"])
+        accum = np.asarray(r.render_accum(opt))
+        noisy = np.asarray(
+            tonemap_reinhard(np, accum, 1.0 / opt.spp, opt.exposure)
+        )
+        den_accum = denoise_accum(r, opt, accum, opt.spp)
+        den = np.asarray(
+            tonemap_reinhard(np, den_accum, 1.0 / opt.spp, opt.exposure)
+        )
+        sep = np.ones((args.res, 4, 3), np.float32)
+        demo = np.concatenate([noisy, sep, den], axis=1)
+        path = os.path.join(out_dir, "cornell_denoise_demo.png")
+        Image.fromarray(
+            (np.clip(demo, 0, 1) * 255).astype(np.uint8)
+        ).save(path)
+        print(f"denoise demo (2 spp | denoised): -> {path}", flush=True)
 
 
 if __name__ == "__main__":

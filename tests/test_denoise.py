@@ -80,15 +80,19 @@ def test_despeckle_kills_isolated_firefly_preserves_features():
     h = w = 16
     c = np.full((h, w, 3), 0.5, np.float32)
     c[4, 4] = 500.0            # isolated single-pixel firefly
+    c[4, 10:12] = 300.0        # 2-pixel speckle pair (RR-boost shape)
     c[10:12, 10:12] = 8.0      # genuine 2x2 bright feature
     out = np.asarray(despeckle(jnp, jnp.asarray(c)))
-    # the firefly drops to its brightest neighbor's luminance (0.5)
+    # the firefly and the pair drop to background luminance (second-max
+    # neighbor clamp: a pair member has only ONE bright neighbor)
     np.testing.assert_allclose(out[4, 4], 0.5, rtol=1e-5)
-    # the 2x2 feature has same-luminance neighbors and is untouched
+    np.testing.assert_allclose(out[4, 10:12], 0.5, rtol=1e-5)
+    # the 2x2 feature gives each pixel 3 same-luminance neighbors: untouched
     np.testing.assert_array_equal(out[10:12, 10:12], c[10:12, 10:12])
     # everything else unchanged
     mask = np.ones((h, w), bool)
     mask[4, 4] = False
+    mask[4, 10:12] = False
     np.testing.assert_array_equal(out[mask], c[mask])
 
 
