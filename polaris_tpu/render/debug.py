@@ -65,24 +65,26 @@ def render_debug(renderer, opt: RenderOptions, channel: str, camera=None) -> np.
             tmax = jnp.maximum(jnp.max(t), 1e-6)
             v = (t / tmax)[..., None].repeat(3, -1)
         elif channel == "normals":
-            tn = S["tri_normals"][hit.tri]
+            # flat-row fetch (shade.py: the (T, 3, 3) multi-dim gather is
+            # the measured ~5 ms/262k-lane trap)
+            tn = S["tri_normals"].reshape(-1, 9)[hit.tri]
             w = 1.0 - hit.u - hit.v
             n_obj = (
-                w[..., None] * tn[..., 0, :]
-                + hit.u[..., None] * tn[..., 1, :]
-                + hit.v[..., None] * tn[..., 2, :]
+                w[..., None] * tn[..., 0:3]
+                + hit.u[..., None] * tn[..., 3:6]
+                + hit.v[..., None] * tn[..., 6:9]
             )
             nw = V.normalize3(
                 jnp, V.transform_normal(jnp, S["inst_w2o"][hit.inst], n_obj)
             )
             v = jnp.where(hit.mask[..., None], nw * 0.5 + 0.5, 0.0)
         elif channel == "uv":
-            tuv = S["tri_uvs"][hit.tri]
+            tuv = S["tri_uvs"].reshape(-1, 6)[hit.tri]
             w = 1.0 - hit.u - hit.v
             uv = (
-                w[..., None] * tuv[..., 0, :]
-                + hit.u[..., None] * tuv[..., 1, :]
-                + hit.v[..., None] * tuv[..., 2, :]
+                w[..., None] * tuv[..., 0:2]
+                + hit.u[..., None] * tuv[..., 2:4]
+                + hit.v[..., None] * tuv[..., 4:6]
             )
             v = jnp.concatenate([uv % 1.0, jnp.zeros((n, 1))], axis=-1)
             v = jnp.where(hit.mask[..., None], v, 0.0)

@@ -28,11 +28,10 @@ so a converged (noise-free) flat region passes through unchanged.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 
-from ..ops import rng
 from ..ops import vec as V
 from .options import RenderOptions
 from .raygen import gen_rays
@@ -61,10 +60,14 @@ def despeckle(xp, color):
         + 0.7152 * color[..., 1]
         + 0.0722 * color[..., 2]
     )
-    lp = xp.pad(lum, ((1, 1), (1, 1)), mode="edge")
+    # pad with -inf, NOT edge-replicate: an edge copy would put a border
+    # pixel's own luminance into its neighborhood, so corner fireflies
+    # (3 self-copies) and border speckle pairs would never clamp
+    lp = xp.pad(lum, ((1, 1), (1, 1)), mode="constant",
+                constant_values=-xp.inf)
     H, W = lum.shape
-    max1 = None  # brightest neighbor
-    max2 = None  # second-brightest neighbor
+    max1 = None  # brightest REAL neighbor (OOB taps are -inf, never win)
+    max2 = None  # second-brightest real neighbor
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
             if dy == 0 and dx == 0:
@@ -176,17 +179,20 @@ def render_guides(
 
     # cache the jitted program PER RENDERER + frame shape: a fresh closure
     # per call would retrace and recompile the traversal every frame
-    # (measured: ~6 s/frame steady-state through the tunnel)
+    # (measured: ~6 s/frame steady-state through the tunnel). The scene
+    # travels as jit ARGUMENTS (like integrator's render fns), not closure
+    # constants — constants would bloat the traced program with the whole
+    # BVH/vertex tables and go stale when the trainer swaps renderer.params.
     cache = getattr(renderer, "_guide_fn_cache", None)
     if cache is None:
         cache = renderer._guide_fn_cache = {}
     run = cache.get((Wd, Hd))
     if run is None:
-        S = {**renderer.geom, **renderer.params}
         n = Wd * Hd
 
         @jax.jit
-        def run(frustum, eye):
+        def run(geom, params, frustum, eye):
+            S = {**geom, **params}
             pixel_idx = jnp.arange(n, dtype=jnp.uint32)
             xs = (pixel_idx % Wd).astype(jnp.int32)
             ys = (pixel_idx // Wd).astype(jnp.int32)
@@ -213,7 +219,10 @@ def render_guides(
 
         cache[(Wd, Hd)] = run
 
-    nrm, z = run(jnp.asarray(cam.frustum), jnp.asarray(cam.position))
+    nrm, z = run(
+        renderer.geom, renderer.params,
+        jnp.asarray(cam.frustum), jnp.asarray(cam.position),
+    )
     return np.asarray(nrm, np.float32), np.asarray(z, np.float32)
 
 

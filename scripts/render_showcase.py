@@ -42,10 +42,19 @@ def main():
 
     out_dir = os.path.join(HERE, "docs", "renders")
     os.makedirs(out_dir, exist_ok=True)
+    renderers = {}  # reuse compiled scenes/programs across the demo step
+
+    def get_renderer(name):
+        if name not in renderers:
+            scene = compile_scene(
+                read_scene(os.path.join(HERE, "scenes", f"{name}.obj"))
+            )
+            renderers[name] = TpuRenderer(scene, mode=args.mode)
+        return renderers[name]
+
     for name in args.scenes:
         cfg = CONFIGS[name]
-        scene = compile_scene(read_scene(os.path.join(HERE, "scenes", f"{name}.obj")))
-        r = TpuRenderer(scene, mode=args.mode)
+        r = get_renderer(name)
         opt = RenderOptions(width=args.res, height=args.res, spp=args.spp, **cfg)
         t0 = time.perf_counter()
         img = r.render(opt)
@@ -58,10 +67,7 @@ def main():
         from polaris_tpu.render.denoise import denoise_accum
         from polaris_tpu.render.shade import tonemap_reinhard
 
-        scene = compile_scene(
-            read_scene(os.path.join(HERE, "scenes", "cornell.obj"))
-        )
-        r = TpuRenderer(scene, mode=args.mode)
+        r = get_renderer("cornell")
         opt = RenderOptions(width=args.res, height=args.res, spp=2,
                             **CONFIGS["cornell"])
         accum = np.asarray(r.render_accum(opt))

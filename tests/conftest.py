@@ -27,6 +27,33 @@ import pytest
 
 
 @pytest.fixture(scope="session")
+def run_cli():
+    """Run the CLI in a hermetic forced-CPU subprocess. The ONE place that
+    knows the environment quirks (platform override, device count,
+    in-tree import path) — CLI smoke tests across files share it."""
+    import subprocess
+    import sys
+
+    def _run(args, cwd, n_devices=1):
+        env = dict(os.environ)
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env.update(
+            JAX_PLATFORMS="cpu",
+            JAX_PLATFORM_NAME="cpu",
+            XLA_FLAGS=f"--xla_force_host_platform_device_count={n_devices}",
+            # the subprocess runs from a tmp cwd; make the in-tree package
+            # importable without requiring an installed wheel
+            PYTHONPATH=repo + os.pathsep + env.get("PYTHONPATH", ""),
+        )
+        return subprocess.run(
+            [sys.executable, "-m", "polaris_tpu.cli", *args],
+            capture_output=True, text=True, cwd=cwd, env=env, timeout=300,
+        )
+
+    return _run
+
+
+@pytest.fixture(scope="session")
 def scenes_dir():
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     d = os.path.join(here, "scenes")

@@ -7,8 +7,6 @@ filter is differentiable, and the guide pass + CLI wiring work end to end.
 """
 
 import os
-import subprocess
-import sys
 
 import jax
 import jax.numpy as jnp
@@ -81,18 +79,25 @@ def test_despeckle_kills_isolated_firefly_preserves_features():
     c = np.full((h, w, 3), 0.5, np.float32)
     c[4, 4] = 500.0            # isolated single-pixel firefly
     c[4, 10:12] = 300.0        # 2-pixel speckle pair (RR-boost shape)
+    c[0, 0] = 400.0            # CORNER firefly (edge padding must not
+    c[0, 6:8] = 200.0          # self-copy) + border speckle pair
     c[10:12, 10:12] = 8.0      # genuine 2x2 bright feature
     out = np.asarray(despeckle(jnp, jnp.asarray(c)))
-    # the firefly and the pair drop to background luminance (second-max
-    # neighbor clamp: a pair member has only ONE bright neighbor)
+    # fireflies and pairs drop to background luminance (second-max
+    # neighbor clamp: a pair member has only ONE bright real neighbor),
+    # including at the corner/border where OOB taps must not count
     np.testing.assert_allclose(out[4, 4], 0.5, rtol=1e-5)
     np.testing.assert_allclose(out[4, 10:12], 0.5, rtol=1e-5)
+    np.testing.assert_allclose(out[0, 0], 0.5, rtol=1e-5)
+    np.testing.assert_allclose(out[0, 6:8], 0.5, rtol=1e-5)
     # the 2x2 feature gives each pixel 3 same-luminance neighbors: untouched
     np.testing.assert_array_equal(out[10:12, 10:12], c[10:12, 10:12])
     # everything else unchanged
     mask = np.ones((h, w), bool)
     mask[4, 4] = False
     mask[4, 10:12] = False
+    mask[0, 0] = False
+    mask[0, 6:8] = False
     np.testing.assert_array_equal(out[mask], c[mask])
 
 
@@ -172,32 +177,13 @@ def test_pipeline_denoise_stage_matches_direct(sphere_scene):
     np.testing.assert_allclose(img, manual, atol=1e-6)
 
 
-# ----- CLI wiring -----
+# ----- CLI wiring (run_cli fixture: conftest.py) -----
 
 
-def _run_cli(args, cwd):
-    env = dict(os.environ)
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env.update(
-        JAX_PLATFORMS="cpu",
-        JAX_PLATFORM_NAME="cpu",
-        XLA_FLAGS="--xla_force_host_platform_device_count=1",
-        PYTHONPATH=repo + os.pathsep + env.get("PYTHONPATH", ""),
-    )
-    return subprocess.run(
-        [sys.executable, "-m", "polaris_tpu.cli", *args],
-        capture_output=True,
-        text=True,
-        cwd=cwd,
-        env=env,
-        timeout=300,
-    )
-
-
-def test_cli_denoise_render(tmp_path, scenes_dir):
+def test_cli_denoise_render(tmp_path, scenes_dir, run_cli):
     obj = os.path.join(scenes_dir, "sphere.obj")
     out = tmp_path / "den.png"
-    r = _run_cli(
+    r = run_cli(
         ["render", "frame", obj, "--width", "32", "--height", "32",
          "--spp", "2", "--num-bounces", "2", "--mode", "bvh",
          "--denoise", "2", "--out", str(out)],
@@ -207,15 +193,15 @@ def test_cli_denoise_render(tmp_path, scenes_dir):
     assert out.exists()
 
 
-def test_cli_denoise_rejects_incompatible_flags(tmp_path, scenes_dir):
+def test_cli_denoise_rejects_incompatible_flags(tmp_path, scenes_dir, run_cli):
     obj = os.path.join(scenes_dir, "sphere.obj")
-    r = _run_cli(
+    r = run_cli(
         ["render", "frame", obj, "--width", "32", "--height", "32",
          "--spp", "2", "--denoise", "2", "--adaptive", "0.02"],
         str(tmp_path),
     )
     assert r.returncode == 2
-    r = _run_cli(
+    r = run_cli(
         ["render", "progressive", obj, "--width", "32", "--height", "32",
          "--spp", "1", "--denoise", "2"],
         str(tmp_path),

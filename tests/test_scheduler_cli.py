@@ -2,8 +2,6 @@
 specs with mock workers) + CLI smoke tests."""
 
 import os
-import subprocess
-import sys
 
 import numpy as np
 import pytest
@@ -50,48 +48,27 @@ def test_blocks_walking_y():
     assert blocks[1].samples_per_pixel == 8
 
 
-# ----- CLI smoke -----
+# ----- CLI smoke (run_cli fixture: conftest.py) -----
 
 
-def _run_cli(args, cwd):
-    env = dict(os.environ)
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env.update(
-        JAX_PLATFORMS="cpu",
-        JAX_PLATFORM_NAME="cpu",
-        XLA_FLAGS="--xla_force_host_platform_device_count=1",
-        # the subprocess runs from a tmp cwd; make the in-tree package
-        # importable without requiring an installed wheel
-        PYTHONPATH=repo + os.pathsep + env.get("PYTHONPATH", ""),
-    )
-    return subprocess.run(
-        [sys.executable, "-m", "polaris_tpu.cli", *args],
-        capture_output=True,
-        text=True,
-        cwd=cwd,
-        env=env,
-        timeout=300,
-    )
-
-
-def test_cli_devices(tmp_path):
-    r = _run_cli(["devices"], str(tmp_path))
+def test_cli_devices(tmp_path, run_cli):
+    r = run_cli(["devices"], str(tmp_path))
     assert r.returncode == 0, r.stderr
     assert "cpu" in r.stdout.lower()
 
 
-def test_cli_scene_compile_info_and_render(tmp_path, scenes_dir):
+def test_cli_scene_compile_info_and_render(tmp_path, scenes_dir, run_cli):
     obj = os.path.join(scenes_dir, "cornell.obj")
-    r = _run_cli(["scene", "compile", obj, "--out", str(tmp_path / "c.zip")], str(tmp_path))
+    r = run_cli(["scene", "compile", obj, "--out", str(tmp_path / "c.zip")], str(tmp_path))
     assert r.returncode == 0, r.stderr
     assert (tmp_path / "c.zip").exists()
     assert "BVH nodes" in r.stdout
 
-    r = _run_cli(["scene", "info", str(tmp_path / "c.zip")], str(tmp_path))
+    r = run_cli(["scene", "info", str(tmp_path / "c.zip")], str(tmp_path))
     assert r.returncode == 0, r.stderr
     assert "Triangles" in r.stdout
 
-    r = _run_cli(
+    r = run_cli(
         [
             "render", "frame", str(tmp_path / "c.zip"),
             "--width", "32", "--height", "32", "--spp", "1",
@@ -105,9 +82,9 @@ def test_cli_scene_compile_info_and_render(tmp_path, scenes_dir):
     assert "TOTAL" in r.stdout
 
 
-def test_cli_adaptive_render(tmp_path, scenes_dir):
+def test_cli_adaptive_render(tmp_path, scenes_dir, run_cli):
     obj = os.path.join(scenes_dir, "cornell.obj")
-    r = _run_cli(
+    r = run_cli(
         [
             "-v", "render", "frame", obj, "--width", "64", "--height", "64",
             "--spp", "8", "--num-bounces", "2", "--mode", "bvh",
@@ -121,9 +98,9 @@ def test_cli_adaptive_render(tmp_path, scenes_dir):
     assert "adaptive: spp min/mean/max" in (r.stderr + r.stdout)
 
 
-def test_cli_debug_channel(tmp_path, scenes_dir):
+def test_cli_debug_channel(tmp_path, scenes_dir, run_cli):
     obj = os.path.join(scenes_dir, "cornell.obj")
-    r = _run_cli(
+    r = run_cli(
         [
             "render", "frame", obj, "--width", "32", "--height", "32",
             "--mode", "bvh", "--debug", "normals",
@@ -135,28 +112,13 @@ def test_cli_debug_channel(tmp_path, scenes_dir):
     assert (tmp_path / "n.png").exists()
 
 
-def _run_cli_multidev(args, cwd, n=4):
-    env = dict(os.environ)
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env.update(
-        JAX_PLATFORMS="cpu",
-        JAX_PLATFORM_NAME="cpu",
-        XLA_FLAGS=f"--xla_force_host_platform_device_count={n}",
-        PYTHONPATH=repo + os.pathsep + env.get("PYTHONPATH", ""),
-    )
-    return subprocess.run(
-        [sys.executable, "-m", "polaris_tpu.cli", *args],
-        capture_output=True, text=True, cwd=cwd, env=env, timeout=300,
-    )
-
-
-def test_cli_render_pool_reports_measured_times(tmp_path, scenes_dir):
+def test_cli_render_pool_reports_measured_times(tmp_path, scenes_dir, run_cli):
     obj = os.path.join(scenes_dir, "cornell.obj")
-    r = _run_cli_multidev(
+    r = run_cli(
         ["render", "frame", obj, "--width", "32", "--height", "32",
          "--spp", "1", "--num-bounces", "2", "--mode", "bvh",
          "--pool", "2", "--out", str(tmp_path / "p.png")],
-        str(tmp_path),
+        str(tmp_path), n_devices=4,
     )
     assert r.returncode == 0, r.stderr
     # two worker rows, each with its own measured time (not one shared value)
@@ -164,13 +126,13 @@ def test_cli_render_pool_reports_measured_times(tmp_path, scenes_dir):
     assert len(rows) == 2, r.stdout
 
 
-def test_cli_render_mesh_no_fabricated_times(tmp_path, scenes_dir):
+def test_cli_render_mesh_no_fabricated_times(tmp_path, scenes_dir, run_cli):
     obj = os.path.join(scenes_dir, "cornell.obj")
-    r = _run_cli_multidev(
+    r = run_cli(
         ["render", "frame", obj, "--width", "32", "--height", "32",
          "--spp", "1", "--num-bounces", "2", "--mode", "bvh",
          "--tiles", "2", "--out", str(tmp_path / "m.png")],
-        str(tmp_path),
+        str(tmp_path), n_devices=4,
     )
     assert r.returncode == 0, r.stderr
     assert "(spmd)" in r.stdout, r.stdout
@@ -203,9 +165,9 @@ def test_device_selection_blacklist_and_primary():
         _select_devices(ns)
 
 
-def test_cli_adaptive_rejects_multi_device_flags(tmp_path, scenes_dir):
+def test_cli_adaptive_rejects_multi_device_flags(tmp_path, scenes_dir, run_cli):
     obj = os.path.join(scenes_dir, "cornell.obj")
-    r = _run_cli(
+    r = run_cli(
         [
             "render", "frame", obj, "--width", "32", "--height", "32",
             "--spp", "2", "--mode", "bvh", "--adaptive", "0.1",
